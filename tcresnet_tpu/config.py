@@ -1,0 +1,277 @@
+"""Dataclass configuration system with named presets.
+
+Replaces the reference's distributed-argparse flag tree
+(/root/reference/train_audio.py:46-67, each layer's `add_arguments`) with
+typed dataclasses plus the 14 named experiment presets that mirror
+/root/reference/scripts/commands/*.sh (see SURVEY.md section 6.2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class AudioConfig:
+    """Audio + feature front-end settings.
+
+    Defaults mirror /root/reference/datasets/audio_data_wrapper.py:60-110.
+    """
+
+    sample_rate: int = 16000
+    clip_duration_ms: int = 1000
+    window_size_ms: float = 30.0
+    window_stride_ms: float = 10.0
+    lower_edge_hertz: float = 80.0
+    upper_edge_hertz: float = 7600.0
+    num_mel_bins: int = 64
+    num_mfccs: int = 40
+    # "mfcc" | "log_mel_spectrogram" | "no_preprocessing"
+    # (reference: datasets/preprocessor_factory.py:6-12)
+    preprocess_method: str = "mfcc"
+
+    @property
+    def desired_samples(self) -> int:
+        return int(self.sample_rate * self.clip_duration_ms / 1000)
+
+    @property
+    def window_size_samples(self) -> int:
+        return int(self.sample_rate * self.window_size_ms / 1000)
+
+    @property
+    def window_stride_samples(self) -> int:
+        return int(self.sample_rate * self.window_stride_ms / 1000)
+
+
+@dataclass(frozen=True)
+class AugmentConfig:
+    """Device-side augmentation settings.
+
+    Reference distributions: datasets/augmentation_factory.py:30-143
+    (anchored_slice_or_pad[_with_shift], naive background-mix version).
+    """
+
+    # "anchored_slice_or_pad" | "anchored_slice_or_pad_with_shift" |
+    # "no_augmentation_audio"
+    method: str = "anchored_slice_or_pad_with_shift"
+    background_frequency: float = 0.8
+    background_max_volume: float = 0.1
+    shift_ratio: float = 0.1
+    # -1: auto = num_samples // num_labels
+    # (reference: datasets/audio_data_wrapper.py:164-174)
+    num_silent: int = -1
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Model selection and per-model hyperparameters.
+
+    Mirrors the per-model argparse flags in
+    /root/reference/factory/audio_nets.py:205-459.
+    """
+
+    name: str = "TCResNet8"
+    num_classes: int = 12
+    width_multiplier: float = 1.0
+    dropout_keep_prob: float = 0.5
+    weight_decay: float = 1e-3
+    label_smoothing: float = 0.0
+    # KWS-family architecture selector
+    # (reference: factory/audio_nets.py:220-224)
+    kws_architecture: str = "conv"
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """Optimizer + piecewise-constant LR schedule.
+
+    Reference: helper/trainer.py:107-137 (schedule), :171-197 (optimizers),
+    :199-222 (EMA).
+    """
+
+    optimizer: str = "mom"  # gd | adam | mom | rmsprop
+    lr_list: Tuple[float, ...] = (0.1, 0.01, 0.001)
+    boundaries: Tuple[int, ...] = (10000, 20000)
+    boundaries_epoch: bool = False  # boundaries given in epochs, not steps
+    momentum: float = 0.9
+    rmsprop_decay: float = 0.9
+    adam_epsilon: float = 1e-8
+    rmsprop_epsilon: float = 1e-10
+    use_ema: bool = False
+    ema_decay: float = 0.999
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Train-loop settings (reference: helper/trainer.py:462-536)."""
+
+    batch_size: int = 100
+    max_step: int = 30000
+    step_save_checkpoint: int = 500
+    step_evaluation: int = 500
+    step_minimum_save: int = 0
+    max_to_keep: int = 5
+    seed: int = 0
+    train_dir: str = "train_dir"
+    # Summary cadence tiers (reference: helper/trainer.py:377-391,486-488).
+    summary_step_default: int = 10
+    summary_step_verbose: int = 2000
+    summary_first_n: int = 30
+    # Compute dtype for conv/matmul inside the model ("bfloat16" uses the
+    # MXU's native precision; params/batch-stats stay fp32).
+    compute_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset location + eval batch settings.
+
+    Deviation from reference (documented, SURVEY.md section 7.4.7): eval
+    uses one batch size with pad+mask of the final partial batch instead
+    of split-size-dividing batch sizes (valid 3 / test 39).
+    """
+
+    dataset_root: str = ""
+    cache_dir: str = ""
+    eval_batch_size: int = 512
+    use_synthetic: bool = False
+    synthetic_num_samples: int = 4096
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for pjit sharding.
+
+    data: batch (DP) axis; model: reserved TP axis (no-op at size 1 —
+    these models are <=500k params; see SURVEY.md section 2.10).
+    """
+
+    data: int = -1  # -1: all remaining devices
+    model: int = 1
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    audio: AudioConfig = field(default_factory=AudioConfig)
+    augment: AugmentConfig = field(default_factory=AugmentConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    def replace(self, **sections) -> "ExperimentConfig":
+        return dataclasses.replace(self, **sections)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "ExperimentConfig":
+        d = json.loads(s)
+
+        def mk(cls, key):
+            sub = d.get(key, {})
+            fields = {f.name for f in dataclasses.fields(cls)}
+            kwargs = {k: v for k, v in sub.items() if k in fields}
+            for f in dataclasses.fields(cls):
+                if f.name in kwargs and isinstance(kwargs[f.name], list):
+                    kwargs[f.name] = tuple(kwargs[f.name])
+            return cls(**kwargs)
+
+        return ExperimentConfig(
+            audio=mk(AudioConfig, "audio"),
+            augment=mk(AugmentConfig, "augment"),
+            model=mk(ModelConfig, "model"),
+            optim=mk(OptimConfig, "optim"),
+            train=mk(TrainConfig, "train"),
+            data=mk(DataConfig, "data"),
+            mesh=mk(MeshConfig, "mesh"),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Named presets: the 14 reproduction configs from scripts/commands/*.sh
+# (SURVEY.md section 6.2). Common flags (scripts/commands/*.sh:3-7):
+# 12 classes, train augment anchored_slice_or_pad_with_shift, eval augment
+# anchored_slice_or_pad with background_frequency 0.0, ckpt+eval every 500.
+# ---------------------------------------------------------------------------
+
+_MFCC_40_3010 = AudioConfig(window_size_ms=30.0, window_stride_ms=10.0, num_mfccs=40)
+_MFCC_40_4020 = AudioConfig(window_size_ms=40.0, window_stride_ms=20.0, num_mfccs=40)
+_MFCC_10_4020 = AudioConfig(window_size_ms=40.0, window_stride_ms=20.0, num_mfccs=10)
+
+_TC_OPTIM = OptimConfig(
+    optimizer="mom", momentum=0.9, lr_list=(0.1, 0.01, 0.001), boundaries=(10000, 20000)
+)
+_RES_OPTIM = OptimConfig(optimizer="adam", lr_list=(0.1, 0.01, 0.001), boundaries=(3000, 6000))
+_DSCNN_OPTIM = OptimConfig(optimizer="adam", lr_list=(5e-4, 1e-4), boundaries=(10000,))
+_KWS_FSTRIDE4_OPTIM = OptimConfig(
+    optimizer="adam", lr_list=(5e-4, 1e-4, 2e-5), boundaries=(10000, 20000)
+)
+_KWS_FPOOL3_OPTIM = OptimConfig(optimizer="adam", lr_list=(5e-4, 1e-4), boundaries=(10000,))
+
+
+def _tc(name: str, wm: float) -> ExperimentConfig:
+    return ExperimentConfig(
+        audio=_MFCC_40_3010,
+        model=ModelConfig(name=name, width_multiplier=wm, weight_decay=1e-3),
+        optim=_TC_OPTIM,
+        train=TrainConfig(batch_size=100, max_step=30000),
+    )
+
+
+def _res(name: str) -> ExperimentConfig:
+    return ExperimentConfig(
+        audio=_MFCC_40_3010,
+        model=ModelConfig(name=name, weight_decay=1e-5),
+        optim=_RES_OPTIM,
+        train=TrainConfig(batch_size=64, max_step=9000),
+    )
+
+
+def _dscnn(name: str) -> ExperimentConfig:
+    return ExperimentConfig(
+        audio=_MFCC_10_4020,
+        model=ModelConfig(name=name, weight_decay=0.0),
+        optim=_DSCNN_OPTIM,
+        train=TrainConfig(batch_size=100, max_step=20000),
+    )
+
+
+PRESETS = {
+    "TCResNet8-1.0": _tc("TCResNet8", 1.0),
+    "TCResNet8-1.5": _tc("TCResNet8", 1.5),
+    "TCResNet14-1.0": _tc("TCResNet14", 1.0),
+    "TCResNet14-1.5": _tc("TCResNet14", 1.5),
+    "TCResNet2D8-1.0": _tc("ResNet2D8", 1.0),
+    "TCResNet2D8Pool-1.0": _tc("ResNet2D8Pool", 1.0),
+    "Res8": _res("Res8"),
+    "Res8Narrow": _res("Res8Narrow"),
+    "Res15": _res("Res15"),
+    "Res15Narrow": _res("Res15Narrow"),
+    "DSCNNS": _dscnn("DSCNNS"),
+    "DSCNNM": _dscnn("DSCNNM"),
+    "DSCNNL": _dscnn("DSCNNL"),
+    "KWSfstride4": ExperimentConfig(
+        audio=_MFCC_40_4020,
+        model=ModelConfig(name="KWS", kws_architecture="one_fstride4", weight_decay=0.0),
+        optim=_KWS_FSTRIDE4_OPTIM,
+        train=TrainConfig(batch_size=100, max_step=30000),
+    ),
+    "KWSfpool3": ExperimentConfig(
+        audio=_MFCC_40_4020,
+        model=ModelConfig(name="KWS", kws_architecture="trad_fpool3", weight_decay=0.0),
+        optim=_KWS_FPOOL3_OPTIM,
+        train=TrainConfig(batch_size=100, max_step=20000),
+    ),
+}
+
+
+def get_preset(name: str) -> ExperimentConfig:
+    if name not in PRESETS:
+        raise KeyError(f"Unknown preset {name!r}. Available: {sorted(PRESETS)}")
+    return PRESETS[name]

@@ -1,0 +1,243 @@
+"""MFCC / log-mel DSP front end, TPU-first.
+
+ONE implementation used for train, eval, and AOT serving — the reference
+shipped two numerically different MFCC paths (training: tf.signal ops at
+/root/reference/datasets/preprocessors.py:64-96,182-194; deploy: legacy
+contrib_audio C++ ops at :98-124) and a *broken* deploy log-mel (missing
+mel constants, :126-136). We standardize on the training path's math,
+which produced the published checkpoints/accuracies (SURVEY.md 7.4.1).
+
+TPU design: everything after framing is a batched matmul on the MXU —
+
+    frames[B,F,W] --(windowed real-DFT matmul, [W, 2K])--> re/im[B,F,2K]
+    power/magnitude[B,F,K] --(mel matmul [K,M])--> mel[B,F,M]
+    log(mel + 1e-6) --(DCT-II matmul [M,C])--> mfcc[B,F,C]
+
+The real FFT is expressed as a dense real-DFT matmul (W x 2K constants;
+W=480, K=257 for the 30/10ms config): at these sizes the MXU matmul beats
+an FFT and fuses with the mel/DCT stages. The zero-padding of frames to
+fft_length is implicit (DFT matrix rows only cover the W real samples).
+
+Exact TF-1.13 semantics reproduced (validated in tests/test_dsp.py
+against a numpy/scipy oracle):
+  - tf.signal.stft: periodic Hann window, fft_length = 2^ceil(log2(W)),
+    pad_end=False -> F = 1 + (N - W) // hop frames.
+  - MFCC uses the power spectrum, log-mel uses the magnitude spectrum
+    (preprocessors.py:183-194 vs :161-170).
+  - tf.signal.linear_to_mel_weight_matrix: HTK mel = 1127*ln(1+f/700),
+    first FFT bin zeroed, triangular band interpolation in mel space.
+  - tf.signal.mfccs_from_log_mel_spectrograms: unnormalized (scipy-style,
+    factor-2) DCT-II scaled by rsqrt(2*M), no k=0 special case.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tcresnet_tpu.config import AudioConfig
+
+
+# ---------------------------------------------------------------------------
+# Geometry helpers
+# ---------------------------------------------------------------------------
+
+
+def fft_length_for(window_size_samples: int) -> int:
+    """tf.signal.stft default: smallest power of 2 >= frame_length."""
+    return 2 ** int(math.ceil(math.log2(window_size_samples)))
+
+
+def num_frames_for(num_samples: int, window: int, hop: int) -> int:
+    """pad_end=False framing: 1 + floor((N - W) / hop)."""
+    return 1 + (num_samples - window) // hop
+
+
+def feature_shape(cfg: AudioConfig) -> tuple:
+    """(frames, coeffs, channels) of the front end's output for `cfg`.
+
+    Reference writes these back into args as height/width/channels
+    (factory/audio_nets.py:82-83).
+    """
+    frames = num_frames_for(
+        cfg.desired_samples, cfg.window_size_samples, cfg.window_stride_samples
+    )
+    if cfg.preprocess_method == "mfcc":
+        return (frames, cfg.num_mfccs, 1)
+    if cfg.preprocess_method == "log_mel_spectrogram":
+        return (frames, cfg.num_mel_bins, 1)
+    if cfg.preprocess_method == "no_preprocessing":
+        return (cfg.desired_samples, 1, 1)
+    raise ValueError(f"Unknown preprocess_method {cfg.preprocess_method!r}")
+
+
+# ---------------------------------------------------------------------------
+# Constant matrices (numpy, cached; folded into the jitted graph as consts)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def hann_window(window_size: int) -> np.ndarray:
+    """Periodic Hann, matching tf.signal.hann_window(periodic=True)."""
+    n = np.arange(window_size, dtype=np.float64)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / window_size)).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def windowed_rdft_matrix(window_size: int, fft_length: int) -> np.ndarray:
+    """[W, 2K] matrix computing (Re, Im) of the windowed real DFT.
+
+    frames @ M = concat([Re(rfft(w*frame, fft_length)),
+                         Im(rfft(w*frame, fft_length))], -1)
+    """
+    num_bins = fft_length // 2 + 1
+    n = np.arange(window_size, dtype=np.float64)[:, None]
+    k = np.arange(num_bins, dtype=np.float64)[None, :]
+    angle = 2.0 * np.pi * n * k / fft_length
+    win = hann_window(window_size).astype(np.float64)[:, None]
+    cos_m = win * np.cos(angle)
+    sin_m = win * -np.sin(angle)
+    return np.concatenate([cos_m, sin_m], axis=1).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def linear_to_mel_weight_matrix(
+    num_mel_bins: int,
+    num_spectrogram_bins: int,
+    sample_rate: int,
+    lower_edge_hertz: float,
+    upper_edge_hertz: float,
+) -> np.ndarray:
+    """[K, M] mel filterbank, exact tf.signal.linear_to_mel_weight_matrix.
+
+    HTK-style mel scale (natural log, Q=1127), triangular bands linearly
+    spaced in mel, lowest FFT bin zeroed (bands_to_zero=1), no area
+    normalization. Reference call site: preprocessors.py:80-86.
+    """
+
+    def hz_to_mel(f):
+        return 1127.0 * np.log1p(np.asarray(f, dtype=np.float64) / 700.0)
+
+    bands_to_zero = 1
+    nyquist = sample_rate / 2.0
+    linear_freqs = np.linspace(0.0, nyquist, num_spectrogram_bins)[bands_to_zero:]
+    spectrogram_bins_mel = hz_to_mel(linear_freqs)[:, None]
+
+    band_edges_mel = np.linspace(
+        hz_to_mel(lower_edge_hertz), hz_to_mel(upper_edge_hertz), num_mel_bins + 2
+    )
+    lower_edge = band_edges_mel[None, 0:-2]
+    center = band_edges_mel[None, 1:-1]
+    upper_edge = band_edges_mel[None, 2:]
+
+    lower_slopes = (spectrogram_bins_mel - lower_edge) / (center - lower_edge)
+    upper_slopes = (upper_edge - spectrogram_bins_mel) / (upper_edge - center)
+    weights = np.maximum(0.0, np.minimum(lower_slopes, upper_slopes))
+
+    return np.pad(weights, [[bands_to_zero, 0], [0, 0]]).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def dct_ii_matrix(num_mel_bins: int, num_mfccs: int) -> np.ndarray:
+    """[M, C] matrix for tf.signal.mfccs_from_log_mel_spectrograms.
+
+    TF computes scipy-convention DCT-II (leading factor 2, no ortho
+    special-casing of k=0) scaled by rsqrt(2*M), i.e.
+    D[n, k] = sqrt(2/M) * cos(pi * k * (2n + 1) / (2M)).
+    Reference call site: preprocessors.py:191.
+    """
+    n = np.arange(num_mel_bins, dtype=np.float64)[:, None]
+    k = np.arange(num_mfccs, dtype=np.float64)[None, :]
+    d = np.cos(np.pi * k * (2.0 * n + 1.0) / (2.0 * num_mel_bins))
+    return (d * np.sqrt(2.0 / num_mel_bins)).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# jnp compute path (jittable; constants close over numpy arrays)
+# ---------------------------------------------------------------------------
+
+
+def frame_signal(audio: jnp.ndarray, window: int, hop: int) -> jnp.ndarray:
+    """[..., N] -> [..., F, W] overlapping frames (pad_end=False)."""
+    num_samples = audio.shape[-1]
+    frames = num_frames_for(num_samples, window, hop)
+    idx = np.arange(frames)[:, None] * hop + np.arange(window)[None, :]
+    return audio[..., idx]
+
+
+def spectrogram(
+    audio: jnp.ndarray,
+    window: int,
+    hop: int,
+    magnitude_squared: bool,
+) -> jnp.ndarray:
+    """[..., N] float32 -> [..., F, K] power or magnitude spectrogram.
+
+    Matches tf.contrib.signal.stft + |.|^2 (or |.|) at
+    preprocessors.py:68-77, expressed as framing plus one MXU matmul.
+    """
+    fft_length = fft_length_for(window)
+    num_bins = fft_length // 2 + 1
+    frames = frame_signal(audio.astype(jnp.float32), window, hop)
+    dft = jnp.asarray(windowed_rdft_matrix(window, fft_length))
+    reim = jnp.einsum(
+        "...fw,wk->...fk", frames, dft, preferred_element_type=jnp.float32
+    )
+    re, im = reim[..., :num_bins], reim[..., num_bins:]
+    power = re * re + im * im
+    if magnitude_squared:
+        return power
+    return jnp.sqrt(power)
+
+
+def log_mel_spectrogram(
+    audio: jnp.ndarray, cfg: AudioConfig, magnitude_squared: bool
+) -> jnp.ndarray:
+    """[..., N] -> [..., F, M] log-mel features (preprocessors.py:64-96)."""
+    window = cfg.window_size_samples
+    hop = cfg.window_stride_samples
+    spec = spectrogram(audio, window, hop, magnitude_squared)
+    mel_w = jnp.asarray(
+        linear_to_mel_weight_matrix(
+            cfg.num_mel_bins,
+            fft_length_for(window) // 2 + 1,
+            cfg.sample_rate,
+            cfg.lower_edge_hertz,
+            cfg.upper_edge_hertz,
+        )
+    )
+    mel = jnp.einsum("...fk,km->...fm", spec, mel_w, preferred_element_type=jnp.float32)
+    return jnp.log(mel + 1e-6)
+
+
+def mfcc(audio: jnp.ndarray, cfg: AudioConfig) -> jnp.ndarray:
+    """[..., N] -> [..., F, num_mfccs] MFCCs (preprocessors.py:182-194).
+
+    Power spectrum -> mel -> log -> scaled DCT-II, first num_mfccs kept.
+    """
+    log_mel = log_mel_spectrogram(audio, cfg, magnitude_squared=True)
+    dct_w = jnp.asarray(dct_ii_matrix(cfg.num_mel_bins, cfg.num_mfccs))
+    return jnp.einsum(
+        "...fm,mc->...fc", log_mel, dct_w, preferred_element_type=jnp.float32
+    )
+
+
+def preprocess(audio: jnp.ndarray, cfg: AudioConfig) -> jnp.ndarray:
+    """Front-end dispatch: [..., N] wavs -> [..., H, W, 1] features.
+
+    The single entry point used by train, eval, and AOT serving alike
+    (reference had divergent train/deploy paths; see module docstring).
+    """
+    if cfg.preprocess_method == "mfcc":
+        feats = mfcc(audio, cfg)
+    elif cfg.preprocess_method == "log_mel_spectrogram":
+        feats = log_mel_spectrogram(audio, cfg, magnitude_squared=False)
+    elif cfg.preprocess_method == "no_preprocessing":
+        feats = audio[..., :, None]
+    else:
+        raise ValueError(f"Unknown preprocess_method {cfg.preprocess_method!r}")
+    return feats[..., None]

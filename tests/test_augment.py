@@ -1,0 +1,100 @@
+"""Tests for device-side augmentation distributions and semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tcresnet_tpu.config import AugmentConfig
+from tcresnet_tpu.ops import augment
+
+
+def test_time_shift_pads_with_zeros(rng):
+    wavs = jnp.asarray(rng.uniform(0.5, 1.0, size=(64, 1000)).astype(np.float32))
+    out = np.asarray(augment.time_shift(wavs, jax.random.key(0), 0.1))
+    assert out.shape == wavs.shape
+    # Each row: a contiguous zero block at one end, values elsewhere.
+    for row in out[:8]:
+        zeros = row == 0
+        n0 = zeros.sum()
+        assert n0 <= 100  # |shift| <= 1000*0.1 (minval inclusive)
+        if n0:
+            assert zeros[:n0].all() or zeros[-n0:].all()
+    # Energy preserved up to the dropped samples.
+    assert np.abs(out).sum() <= np.abs(np.asarray(wavs)).sum()
+
+
+def test_time_shift_distribution():
+    wavs = jnp.ones((4096, 100), jnp.float32)
+    out = np.asarray(augment.time_shift(wavs, jax.random.key(1), 0.1))
+    shifts = (out == 0).sum(axis=1)  # |shift| per row
+    assert shifts.max() <= 10
+    # uniform over [-10, 10): mean |shift| ~ 5
+    assert 4.0 < shifts.mean() < 6.0
+
+
+def test_mix_background_training_stats():
+    batch, n = 8192, 100
+    wavs = jnp.zeros((batch, n), jnp.float32)
+    silent = jnp.zeros((batch,), bool)
+    noise = jnp.ones((3, 400), jnp.float32)
+    out = np.asarray(
+        augment.mix_background(
+            wavs, silent, noise, jax.random.key(2),
+            background_frequency=0.8, background_max_volume=0.1, is_training=True,
+        )
+    )
+    vols = out[:, 0]
+    frac_mixed = (vols > 0).mean()
+    assert 0.75 < frac_mixed < 0.85  # ~background_frequency
+    assert vols.max() <= 0.1 + 1e-6
+    mixed = vols[vols > 0]
+    assert 0.04 < mixed.mean() < 0.06  # U[0, 0.1) mean ~0.05
+
+
+def test_mix_background_eval_is_identity():
+    wavs = jnp.asarray(np.random.default_rng(0).normal(size=(16, 100)).astype(np.float32))
+    wavs = jnp.clip(wavs, -1, 1)
+    silent = jnp.zeros((16,), bool)
+    noise = jnp.ones((2, 200), jnp.float32)
+    out = augment.mix_background(
+        wavs, silent, noise, jax.random.key(3),
+        background_frequency=0.0, background_max_volume=0.1, is_training=False,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(wavs), atol=1e-7)
+
+
+def test_silence_rows_are_zero_foreground():
+    wavs = jnp.ones((4, 100), jnp.float32)
+    silent = jnp.asarray([True, False, True, False])
+    cfg = AugmentConfig(method="anchored_slice_or_pad", background_frequency=0.0)
+    out = np.asarray(
+        augment.augment_batch(wavs, silent, jax.random.key(4), cfg, None, True)
+    )
+    assert (out[0] == 0).all() and (out[2] == 0).all()
+    assert (out[1] == 1).all() and (out[3] == 1).all()
+
+
+def test_augment_batch_is_jittable():
+    cfg = AugmentConfig()
+    noise = jnp.ones((2, 200), jnp.float32)
+
+    @jax.jit
+    def fn(w, s, k):
+        return augment.augment_batch(w, s, k, cfg, noise, True)
+
+    out = fn(jnp.ones((8, 100)), jnp.zeros((8,), bool), jax.random.key(5))
+    assert out.shape == (8, 100)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_clipping():
+    wavs = jnp.ones((256, 50), jnp.float32)  # already at +1
+    silent = jnp.zeros((256,), bool)
+    noise = jnp.ones((1, 100), jnp.float32)
+    out = np.asarray(
+        augment.mix_background(
+            wavs, silent, noise, jax.random.key(6),
+            background_frequency=1.0, background_max_volume=1.0, is_training=True,
+        )
+    )
+    assert out.max() <= 1.0
