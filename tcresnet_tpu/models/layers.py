@@ -1,0 +1,113 @@
+"""Shared layer primitives with TF-slim-equivalent semantics.
+
+The reference configures everything through slim arg_scopes
+(/root/reference/audio_nets/tc_resnet.py:102-123, res.py:105-123,
+ds_cnn.py:104-118). The semantics reproduced here:
+
+- slim.conv2d: xavier(glorot)-uniform kernel init, NO bias when an
+  arg_scope sets biases_initializer=None, SAME padding.
+- slim.batch_norm: epsilon 1e-3 (slim default), decay == flax momentum
+  (moving = m*moving + (1-m)*batch), center/scale per family.
+- slim.dropout(keep_prob): flax rate = 1 - keep_prob.
+- slim.avg_pool2d: padding VALID by default.
+
+Under jit with a data-sharded batch, BatchNorm's batch statistics are
+global-batch statistics — XLA inserts the cross-replica reduction over
+ICI automatically (no axis_name plumbing needed, unlike pmap).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Dtype = Any
+
+glorot_uniform = nn.initializers.glorot_uniform
+truncated_normal = nn.initializers.truncated_normal
+
+
+def slim_conv(
+    x: jnp.ndarray,
+    features: int,
+    kernel: Tuple[int, int],
+    stride: Tuple[int, int] = (1, 1),
+    *,
+    name: str,
+    padding: str = "SAME",
+    use_bias: bool = False,
+    kernel_dilation: Tuple[int, int] = (1, 1),
+    feature_group_count: int = 1,
+    dtype: Optional[Dtype] = None,
+    kernel_init=None,
+) -> jnp.ndarray:
+    """Bare conv (no BN/act), slim-equivalent defaults."""
+    return nn.Conv(
+        features=features,
+        kernel_size=kernel,
+        strides=stride,
+        padding=padding,
+        use_bias=use_bias,
+        kernel_dilation=kernel_dilation,
+        feature_group_count=feature_group_count,
+        kernel_init=kernel_init or glorot_uniform(),
+        dtype=dtype,
+        name=name,
+    )(x)
+
+
+def slim_batch_norm(
+    x: jnp.ndarray,
+    *,
+    training: bool,
+    name: str,
+    momentum: float = 0.997,
+    center: bool = True,
+    scale: bool = True,
+    dtype: Optional[Dtype] = None,
+) -> jnp.ndarray:
+    """slim.batch_norm equivalent (epsilon=1e-3; decay -> momentum)."""
+    return nn.BatchNorm(
+        use_running_average=not training,
+        momentum=momentum,
+        epsilon=1e-3,
+        use_bias=center,
+        use_scale=scale,
+        dtype=dtype,
+        name=name,
+    )(x)
+
+
+def avg_pool_valid(
+    x: jnp.ndarray, window: Sequence[int], stride: Sequence[int]
+) -> jnp.ndarray:
+    """slim.avg_pool2d with its default VALID padding."""
+    return nn.avg_pool(
+        x, window_shape=tuple(window), strides=tuple(stride), padding="VALID"
+    )
+
+
+def max_pool(
+    x: jnp.ndarray, window: Sequence[int], stride: Sequence[int], padding: str
+) -> jnp.ndarray:
+    return nn.max_pool(
+        x, window_shape=tuple(window), strides=tuple(stride), padding=padding
+    )
+
+
+def global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
+    """slim.avg_pool2d(kernel=net.shape[1:3], stride=1): full-window mean.
+
+    Returns [B, C] (the reference keeps [B,1,1,C] then 1x1-convs; a mean +
+    Dense is the identical computation, XLA-fused).
+    """
+    return jnp.mean(x, axis=(1, 2))
+
+
+def dropout(
+    x: jnp.ndarray, *, keep_prob: float, training: bool, name: Optional[str] = None
+) -> jnp.ndarray:
+    """slim.dropout equivalent; auto-numbered name unless given."""
+    return nn.Dropout(rate=1.0 - keep_prob, deterministic=not training, name=name)(x)
