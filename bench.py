@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""End-to-end train throughput benchmark (driver-run, real TPU).
+
+Measures steady-state utterances/sec of the FULL flagship training path —
+device-side batch sampling from the HBM-resident dataset, augmentation
+(shift + background mix + silence), MFCC front end, TCResNet8-1.0
+forward/backward, SGD-momentum update — i.e. the same fused step the real
+trainer runs, on a Speech-Commands-sized synthetic dataset.
+
+Prints ONE JSON line:
+  {"metric": "train_utterances_per_sec", "value": N, "unit": "utt/s",
+   "vs_baseline": N / 50000}
+vs_baseline is against BASELINE.md's >=50k utt/s end-to-end target.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main():
+    import dataclasses
+    import tempfile
+
+    import jax
+
+    from tcresnet_tpu.config import get_preset
+    from tcresnet_tpu.data.device_data import DeviceDataset
+    from tcresnet_tpu.data.synthetic import make_synthetic_dataset
+    from tcresnet_tpu.parallel import make_mesh
+    from tcresnet_tpu.train.trainer import Trainer
+
+    cfg = get_preset("TCResNet8-1.0")
+    # Reference recipe is batch 100 on one GPU (SURVEY.md 6.2); on TPU we
+    # scale the per-step batch to fill the chip — throughput is the metric.
+    batch = 2048
+    steps_per_call = 20
+    cfg = cfg.replace(
+        train=dataclasses.replace(cfg.train, batch_size=batch, max_step=10**9)
+    )
+
+    # Speech-Commands-scale dataset resident in HBM (24k utterances).
+    host = make_synthetic_dataset(
+        num_samples=24_100, num_classes=12, desired_samples=16000, seed=0
+    )
+
+    mesh = make_mesh(cfg.mesh)
+    with tempfile.TemporaryDirectory() as tmp:
+        trainer = Trainer(
+            cfg,
+            DeviceDataset(host, mesh),
+            mesh=mesh,
+            workdir=tmp,
+            steps_per_call=steps_per_call,
+        )
+        arrays = trainer.data.arrays
+        noise = trainer.data.noise_bank
+        state = trainer.state
+
+        # warmup / compile
+        state, _ = trainer._train_fn(state, *arrays, noise)
+        jax.block_until_ready(state.params)
+
+        # timed: 5 fused calls = 100 steps
+        calls = 5
+        t0 = time.perf_counter()
+        for _ in range(calls):
+            state, summary = trainer._train_fn(state, *arrays, noise)
+        jax.block_until_ready(state.params)
+        dt = time.perf_counter() - t0
+
+    utt_per_sec = batch * steps_per_call * calls / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_utterances_per_sec",
+                "value": round(utt_per_sec, 1),
+                "unit": "utt/s",
+                "vs_baseline": round(utt_per_sec / 50000.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,234 @@
+"""Speech Commands dataset discovery + host decode cache.
+
+Reference behaviors reproduced (datasets/data_wrapper_base.py and
+audio_data_wrapper.py):
+  - label discovery: sorted label dirs, `_`-prefixed skipped, `__null__`
+    prepended at index 0 (data_wrapper_base.py:114-145);
+  - per-split file/label listing in label-major order (:147-191);
+  - silence injection: `num_silent` empty samples labeled `__null__`
+    (auto = num_samples // num_labels) (audio_data_wrapper.py:164-174);
+  - background-noise bank loaded whole from `_background_noise_`
+    (audio_data_wrapper.py:146-162);
+  - optional oversampling by label (data_wrapper_base.py:219-248).
+
+TPU-first difference: instead of a filename-based tf.data pipeline, all
+wavs are decoded ONCE into an int16 cache array [N, desired_samples]
+(memmap-backed on disk) that is then uploaded to HBM; see device_data.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from collections import defaultdict
+from dataclasses import dataclass
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tcresnet_tpu import const
+from tcresnet_tpu.data import wav as wavlib
+from tcresnet_tpu.utils import get_logger
+
+log = get_logger("data")
+
+
+@dataclass
+class HostDataset:
+    """Decoded, host-resident split: everything device_data needs."""
+
+    wavs: np.ndarray  # [N, S] int16 (silence rows all-zero)
+    labels: np.ndarray  # [N] int32
+    is_silent: np.ndarray  # [N] bool
+    label_names: Tuple[str, ...]
+    noise_bank: Optional[np.ndarray]  # [K, L] float32 in [-1,1), or None
+    split: str = ""
+
+    @property
+    def num_samples(self) -> int:
+        return int(self.wavs.shape[0])
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.label_names)
+
+
+def discover_labels(split_dir: Path, add_null_class: bool = True) -> Tuple[str, ...]:
+    """Sorted label dirs, `_`-prefixed skipped, null class at index 0."""
+    names: List[str] = []
+    if add_null_class:
+        names.append(const.NULL_CLASS_LABEL)
+    for p in sorted(split_dir.glob("*")):
+        if p.is_dir() and not p.name.startswith("_"):
+            names.append(p.name)
+    if not names:
+        raise FileNotFoundError(f"No label directories under {split_dir}")
+    return tuple(names)
+
+
+def list_files(
+    split_dir: Path, label_names: Sequence[str]
+) -> Tuple[List[str], List[int]]:
+    """Label-major (filename, label-idx) listing; null class has no files."""
+    filenames, labels = [], []
+    for idx, name in enumerate(label_names):
+        label_dir = split_dir / name
+        if not label_dir.is_dir():
+            continue
+        for f in sorted(label_dir.glob("*.wav")):
+            filenames.append(str(f))
+            labels.append(idx)
+    if not filenames:
+        raise FileNotFoundError(f"No wav files under {split_dir}")
+    return filenames, labels
+
+
+def oversample(
+    filenames: List[str], labels: List[int], oversampling_ratio: float
+) -> Tuple[List[str], List[int]]:
+    """Label-balancing oversampling (data_wrapper_base.py:219-248).
+
+    Each label's samples are repeated `round(max(min_needed/n, 1) * 5) / 5`
+    -ish times; we reproduce the reference's integer-ratio formula
+    ratio = int(max(min_num/num, 1.0) * 5 + 0.5) applied as whole-list
+    repetition (ratio - 1 extra copies).
+    """
+    by_label = defaultdict(list)
+    for fn, lb in zip(filenames, labels):
+        by_label[lb].append(fn)
+    counts = {lb: len(v) for lb, v in by_label.items()}
+    max_count = max(counts.values())
+    min_needed = int(max_count * oversampling_ratio)
+    out_f, out_l = list(filenames), list(labels)
+    n = 5
+    for lb, cnt in sorted(counts.items()):
+        ratio = int(max(min_needed / cnt, 1.0) * n + 0.5)
+        # reference repeats (ratio - 1) extra copies with its n-scaled ratio;
+        # we keep the exact formula then de-scale to whole copies.
+        copies = max(ratio // n - 1, 0)
+        for _ in range(copies):
+            out_f.extend(by_label[lb])
+            out_l.extend(lb for _ in range(cnt))
+    return out_f, out_l
+
+
+def _decode_all(
+    filenames: Sequence[str], desired_samples: int
+) -> np.ndarray:
+    """Decode wavs to an int16 matrix, preferring the C++ batch decoder."""
+    try:
+        from tcresnet_tpu.data import native_loader
+
+        arr = native_loader.decode_batch(filenames, desired_samples)
+        if arr is not None:
+            return arr
+    except Exception:  # pragma: no cover - fall back to numpy decode
+        pass
+    out = np.zeros((len(filenames), desired_samples), np.int16)
+    for i, fn in enumerate(filenames):
+        out[i], _ = wavlib.decode_wav_int16(fn, desired_samples)
+    return out
+
+
+def _cache_key(filenames: Sequence[str], desired_samples: int) -> str:
+    h = hashlib.sha256()
+    h.update(str(desired_samples).encode())
+    for fn in filenames:
+        h.update(fn.encode())
+    return h.hexdigest()[:16]
+
+
+def load_noise_bank(split_dir: Path, min_len: int) -> Optional[np.ndarray]:
+    """Load `_background_noise_` wavs into a padded [K, L] float32 bank.
+
+    Clips shorter than `min_len` are dropped (a crop of desired length
+    must exist, matching tf.random_crop's requirement); clips are
+    right-padded to the longest remaining clip. Padding with zeros
+    slightly biases crops near the end of shorter clips toward silence —
+    an accepted deviation documented here (the reference keeps ragged
+    clips as separate graph constants, augmentation_factory.py:62-67).
+    """
+    noise_dir = split_dir / const.BACKGROUND_NOISE_DIR_NAME
+    if not noise_dir.is_dir():
+        return None
+    clips = []
+    for f in sorted(noise_dir.glob("*.wav")):
+        samples, _ = wavlib.decode_wav_float32(f)
+        if samples.shape[0] >= min_len:
+            clips.append(samples)
+    if not clips:
+        return None
+    max_len = max(c.shape[0] for c in clips)
+    bank = np.zeros((len(clips), max_len), np.float32)
+    for i, c in enumerate(clips):
+        bank[i, : c.shape[0]] = c
+    log.info(f"{len(clips)} background noise clips loaded (bank {bank.shape})")
+    return bank
+
+
+def load_speech_commands(
+    dataset_root: str,
+    split: str,
+    desired_samples: int = 16000,
+    num_silent: int = -1,
+    cache_dir: Optional[str] = None,
+    add_null_class: bool = True,
+    oversampling_ratio: Optional[float] = None,
+) -> HostDataset:
+    """Load one split of a `<root>/<split>/<label>/*.wav` tree.
+
+    Decode results are cached as `<cache_dir>/<split>-<hash>.npy` so
+    subsequent runs start instantly.
+    """
+    split_dir = Path(dataset_root) / split
+    label_names = discover_labels(split_dir, add_null_class)
+    filenames, labels = list_files(split_dir, label_names)
+    if oversampling_ratio is not None:
+        filenames, labels = oversample(filenames, labels, oversampling_ratio)
+
+    wavs = None
+    if cache_dir:
+        key = _cache_key(filenames, desired_samples)
+        cache_path = Path(cache_dir) / f"{split}-{key}.npy"
+        if cache_path.exists():
+            wavs = np.load(cache_path, mmap_mode="r")
+            log.info(f"Loaded decode cache {cache_path}")
+    if wavs is None:
+        wavs = _decode_all(filenames, desired_samples)
+        if cache_dir:
+            Path(cache_dir).mkdir(parents=True, exist_ok=True)
+            np.save(cache_path, wavs)
+            log.info(f"Wrote decode cache {cache_path}")
+
+    wavs = np.asarray(wavs)
+    labels = np.asarray(labels, np.int32)
+    is_silent = np.zeros(len(labels), bool)
+
+    # Silence injection (audio_data_wrapper.py:164-174).
+    if add_null_class:
+        if num_silent < 0:
+            num_silent = len(filenames) // len(label_names)
+        if num_silent > 0:
+            null_idx = label_names.index(const.NULL_CLASS_LABEL)
+            wavs = np.concatenate(
+                [wavs, np.zeros((num_silent, desired_samples), np.int16)]
+            )
+            labels = np.concatenate(
+                [labels, np.full(num_silent, null_idx, np.int32)]
+            )
+            is_silent = np.concatenate([is_silent, np.ones(num_silent, bool)])
+            log.info(f"{num_silent} silent samples added")
+
+    noise_bank = load_noise_bank(split_dir, desired_samples)
+    log.info(
+        f"split={split}: {len(labels)} samples, {len(label_names)} classes"
+    )
+    return HostDataset(
+        wavs=wavs,
+        labels=labels,
+        is_silent=is_silent,
+        label_names=label_names,
+        noise_bank=noise_bank,
+        split=split,
+    )

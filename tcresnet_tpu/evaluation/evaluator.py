@@ -1,0 +1,113 @@
+"""Full-split evaluation with device-side scoring.
+
+Reference parity: helper/base.py:52-143 (run_inference/run_evaluation)
++ helper/evaluator.py:102-133 (evaluate_once), redesigned TPU-first:
+
+- the eval split lives in HBM (DeviceDataset); a jitted step gathers an
+  index batch, runs preprocess+forward in eval mode (background volume 0,
+  silence zeroing — scripts/commands/*.sh:5 semantics) and returns
+  softmax scores;
+- every sample is evaluated exactly once via pad+mask final batches
+  (deviation from the reference's split-dividing batch sizes,
+  SURVEY.md 7.4.7);
+- metric battery (accuracy/top-5/mAP/per-class/report) computed on host
+  from the gathered scores, as the reference did with sklearn;
+- wall-clock batch_infer_time / unit_infer_time metrics retained
+  (helper/base.py:106-115).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tcresnet_tpu.config import ExperimentConfig
+from tcresnet_tpu.data.device_data import DeviceDataset
+from tcresnet_tpu.metrics.host_metrics import compute_classification_metrics
+from tcresnet_tpu.models import build_model
+from tcresnet_tpu.ops import dsp
+from tcresnet_tpu.train import loss as losslib
+from tcresnet_tpu.utils import get_logger
+
+
+class Evaluator:
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        data: DeviceDataset,
+        mesh=None,
+        model=None,
+        use_ema: Optional[bool] = None,
+    ):
+        self.cfg = cfg
+        self.data = data
+        self.mesh = mesh
+        self.log = get_logger(f"evaluator/{data.split or 'eval'}")
+        self.feature_shape = dsp.feature_shape(cfg.audio)
+        self.model = model or build_model(
+            cfg.model, self.feature_shape, cfg.train.compute_dtype
+        )
+        self.use_ema = cfg.optim.use_ema if use_ema is None else use_ema
+        self._eval_fn = jax.jit(self._eval_step)
+
+    def _eval_step(self, params, batch_stats, idx):
+        wavs, labels, silent = DeviceDataset.gather_batch(
+            self.data.arrays, idx, self.mesh
+        )
+        # Eval-mode augmentation: silence rows zeroed, no shift, no noise
+        # (eval scripts pass background_frequency 0.0).
+        wavs = jnp.where(silent[:, None], 0.0, wavs)
+        feats = dsp.preprocess(wavs, self.cfg.audio)
+        logits = self.model.apply(
+            {"params": params, "batch_stats": batch_stats}, feats, training=False
+        )
+        onehot = jax.nn.one_hot(labels, self.cfg.model.num_classes)
+        loss = losslib.smoothed_softmax_cross_entropy(
+            logits, onehot, self.cfg.model.label_smoothing
+        )
+        return jax.nn.softmax(logits, axis=-1), labels, loss
+
+    def evaluate(self, state_or_params, batch_stats=None) -> Dict[str, float]:
+        """Evaluate the whole split; returns the metric dict."""
+        if batch_stats is None:
+            params = (
+                state_or_params.eval_params
+                if self.use_ema
+                else state_or_params.params
+            )
+            batch_stats = state_or_params.batch_stats
+        else:
+            params = state_or_params
+
+        batch = self.cfg.data.eval_batch_size
+        all_scores, all_labels, all_losses = [], [], []
+        infer_times = []
+        for idx, mask in self.data.eval_index_batches(batch):
+            t0 = time.perf_counter()
+            scores, labels, loss = self._eval_fn(params, batch_stats, jnp.asarray(idx))
+            scores = np.asarray(jax.block_until_ready(scores))
+            infer_times.append(time.perf_counter() - t0)
+            all_scores.append(scores[mask])
+            all_labels.append(np.asarray(labels)[mask])
+            all_losses.append(float(loss))
+
+        scores = np.concatenate(all_scores)
+        labels = np.concatenate(all_labels)
+        metrics = compute_classification_metrics(
+            scores,
+            labels,
+            self.data.label_names,
+            use_class_metrics=len(self.data.label_names) < 10,
+            include_report=False,
+        )
+        metrics["loss"] = float(np.mean(all_losses))
+        metrics["num_samples"] = float(len(labels))
+        # steady-state latency stats (skip the compile-laden first batch)
+        steady = infer_times[1:] or infer_times
+        metrics["batch_infer_time"] = float(np.mean(steady))
+        metrics["unit_infer_time"] = float(np.mean(steady)) / batch
+        return metrics

@@ -1,0 +1,135 @@
+"""Checkpoint-watching loop evaluator.
+
+Reference parity: the decoupled two-process train/eval design
+(SURVEY.md section 1, layer 10): the trainer writes checkpoints, a
+second evaluator process polls the directory (`checkpoints_iterator`,
+common/tf_utils.py:65-67; evaluate_audio.py:57-60), scores each new
+checkpoint on the valid split, promotes bests (BestKeeper), and exits
+past max_step (helper/evaluator.py:102-133).
+
+TPU-native form: polls the orbax CheckpointManager step directory; can
+run (a) as a separate OS process sharing the filesystem — exactly the
+reference topology — or (b) in-process between train calls.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, Iterator, Optional
+
+from tcresnet_tpu.config import ExperimentConfig
+from tcresnet_tpu.data.device_data import DeviceDataset
+from tcresnet_tpu.evaluation.best_keeper import DEFAULT_BEST_METRICS, BestKeeper
+from tcresnet_tpu.evaluation.evaluator import Evaluator
+from tcresnet_tpu.metrics.writers import MetricWriter
+from tcresnet_tpu.models import param_count
+from tcresnet_tpu.train.checkpoint import CheckpointManager
+from tcresnet_tpu.train.state import create_train_state
+from tcresnet_tpu.utils import get_logger
+
+
+def checkpoint_iterator(
+    ckpt: CheckpointManager,
+    poll_interval: float = 2.0,
+    timeout: Optional[float] = None,
+    start_after: int = -1,
+) -> Iterator[int]:
+    """Yield new checkpoint steps as they appear (ckpt_iterator parity)."""
+    last = start_after
+    waited = 0.0
+    while True:
+        steps = [s for s in ckpt.all_steps() if s > last]
+        if steps:
+            waited = 0.0
+            for s in steps:
+                last = s
+                yield s
+        else:
+            if timeout is not None and waited >= timeout:
+                return
+            time.sleep(poll_interval)
+            waited += poll_interval
+
+
+class WatchingEvaluator:
+    """Evaluate every checkpoint of a run; keep the best."""
+
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        data: DeviceDataset,
+        workdir,
+        mesh=None,
+        metrics_with_modes: Optional[Dict[str, str]] = None,
+    ):
+        self.cfg = cfg
+        self.data = data
+        self.workdir = Path(workdir)
+        self.split = data.split or "valid"
+        self.log = get_logger(f"watcher/{self.split}")
+        self.evaluator = Evaluator(cfg, data, mesh=mesh)
+        self.ckpt = CheckpointManager(
+            self.workdir / "ckpt", max_to_keep=cfg.train.max_to_keep
+        )
+        self.best_keeper = BestKeeper(
+            metrics_with_modes or dict(DEFAULT_BEST_METRICS),
+            self.split,
+            self.workdir / "best",
+        )
+        self.writer = MetricWriter(self.workdir, self.split)
+        self._template_state = self._make_template()
+        self._n_params = param_count(self._template_state.params)
+
+    def _make_template(self):
+        import jax
+        import jax.numpy as jnp
+
+        from tcresnet_tpu.ops import dsp
+        from tcresnet_tpu.train.optim import build_optimizer
+
+        tx, _ = build_optimizer(self.cfg.optim)
+        shape = dsp.feature_shape(self.cfg.audio)
+        return create_train_state(
+            self.evaluator.model,
+            tx,
+            jax.random.key(0),
+            jnp.zeros((2,) + shape, jnp.float32),
+            use_ema=self.cfg.optim.use_ema,
+        )
+
+    def evaluate_once(self, step: int) -> Dict[str, float]:
+        """Load a checkpoint and run a full-split evaluation
+        (helper/evaluator.py:102-133 parity)."""
+        state = self.ckpt.restore(self._template_state, step)
+        scores = self.evaluator.evaluate(state)
+        tracked = {
+            k: scores[k] for k in self.best_keeper.modes if k in scores
+        }
+        _, keep = self.best_keeper.monitor(tracked)
+        self.best_keeper.save_scores(
+            keep, scores, meta_info={"step": step, "model_size": self._n_params}
+        )
+        self.best_keeper.save_best(keep, self.ckpt.directory, step)
+        self.writer.write(step, scores)
+        self.log.info(
+            f"step {step}: acc {scores['accuracy']:.4f} loss {scores['loss']:.4f}"
+            + ("  [best kept]" if any(keep.values()) else "")
+        )
+        return scores
+
+    def watch(
+        self,
+        max_step: Optional[int] = None,
+        poll_interval: float = 2.0,
+        timeout: Optional[float] = None,
+    ) -> Optional[Dict[str, float]]:
+        """Loop over checkpoints until max_step is evaluated or timeout."""
+        max_step = max_step or self.cfg.train.max_step
+        last_scores = None
+        for step in checkpoint_iterator(self.ckpt, poll_interval, timeout):
+            last_scores = self.evaluate_once(step)
+            if step >= max_step:
+                break
+        self.writer.flush()
+        return last_scores

@@ -1,0 +1,67 @@
+"""Metric/summary writers with tiered cadence.
+
+Reference parity: metrics/summaries.py's three collection tiers
+(DEFAULT every 10 steps / VERBOSE every 2000 / FIRST_N first 30,
+helper/trainer.py:377-391) and train-vs-eval writer separation
+(summaries.py:121-142). Backends: JSONL always (machine-readable record,
+replaces scores-in-TB), TensorBoard via tensorboardX when available.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+
+class MetricWriter:
+    def __init__(self, directory, name: str = "train", use_tensorboard: bool = True):
+        self._dir = Path(directory)
+        self._dir.mkdir(parents=True, exist_ok=True)
+        self._jsonl = open(self._dir / f"{name}_metrics.jsonl", "a", buffering=1)
+        self._tb = None
+        if use_tensorboard:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._tb = SummaryWriter(logdir=str(self._dir / name))
+            except Exception:
+                self._tb = None
+
+    def write(self, step: int, metrics: Dict[str, float], prefix: str = "") -> None:
+        record = {"step": int(step), "time": time.time()}
+        for k, v in metrics.items():
+            key = f"{prefix}{k}"
+            if isinstance(v, str):
+                continue
+            record[key] = float(v)
+            if self._tb is not None:
+                self._tb.add_scalar(key, float(v), int(step))
+        self._jsonl.write(json.dumps(record) + "\n")
+
+    def write_text(self, step: int, tag: str, text: str) -> None:
+        if self._tb is not None:
+            self._tb.add_text(tag, text, int(step))
+
+    def flush(self) -> None:
+        self._jsonl.flush()
+        if self._tb is not None:
+            self._tb.flush()
+
+    def close(self) -> None:
+        self.flush()
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+def should_write_summary(
+    step: int, default_every: int, verbose_every: int, first_n: int
+) -> bool:
+    """Tiered cadence check (helper/trainer.py:377-391)."""
+    return (
+        step <= first_n
+        or step % default_every == 0
+        or (verbose_every > 0 and step % verbose_every == 0)
+    )

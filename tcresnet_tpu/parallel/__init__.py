@@ -1,0 +1,7 @@
+from tcresnet_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+)
+
+__all__ = ["make_mesh", "batch_sharding", "replicated_sharding"]

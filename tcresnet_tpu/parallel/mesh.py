@@ -1,0 +1,61 @@
+"""Device-mesh construction and canonical shardings.
+
+The reference is strictly single-device (const.py:4-7 pins one GPU;
+SURVEY.md 2.10). The rebuild scales over a jax.sharding.Mesh with axes:
+
+  data  — batch (DP) axis; gradients are all-reduced over ICI by XLA
+          (the psum is emitted automatically from the jit shardings).
+  model — reserved tensor-parallel axis, size 1 by default: these models
+          are <=500k params so TP is a no-op capability axis, present so
+          the API supports it (SURVEY.md 2.10 table).
+
+All state (params/opt/batch-stats) is replicated; batches are sharded on
+`data`. The full dataset is also replicated in HBM (GSC v1 is ~0.8 GB as
+int16) so per-step gathers are communication-free.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tcresnet_tpu.config import MeshConfig
+
+
+def make_mesh(
+    cfg: Optional[MeshConfig] = None, devices: Optional[Sequence] = None
+) -> Mesh:
+    """Build a (data, model) mesh over `devices` (default: all)."""
+    cfg = cfg or MeshConfig()
+    if devices is None:
+        devices = jax.devices()
+    devices = list(devices)
+    model = max(cfg.model, 1)
+    if len(devices) % model != 0:
+        raise ValueError(
+            f"model axis {model} does not divide device count {len(devices)}"
+        )
+    data = cfg.data if cfg.data > 0 else len(devices) // model
+    if data * model != len(devices):
+        devices = devices[: data * model]
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis sharding over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, x):
+    """Constrain a batch pytree to data-axis sharding inside jit."""
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P("data"))
+    )

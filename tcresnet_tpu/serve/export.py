@@ -1,0 +1,108 @@
+"""AOT inference export — the freeze.py / .pb / .tflite replacement.
+
+Reference path (freeze.py:16-49 + factory/audio_nets.py:87-125): rebuild
+an inference graph with a fixed placeholder, restore ckpt (optionally
+EMA), constant-fold, write .pb, then convert to .tflite.
+
+TPU-native path: close the trained params over a pure inference function
+(optionally including the DSP front end — `include_preprocess` parity
+with build_deployable_model), `jit(...).lower(...).compile()` for an AOT
+executable, or `jax.export` for a portable serialized StableHLO artifact.
+Softmax output parity with the training graph is the BASELINE.md <=1e-5
+gate (tests/test_serve.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tcresnet_tpu.config import ExperimentConfig
+from tcresnet_tpu.models import build_model
+from tcresnet_tpu.ops import dsp
+
+
+def build_inference_fn(
+    cfg: ExperimentConfig,
+    variables,
+    include_preprocess: bool = True,
+    use_ema: bool = False,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Pure wav->softmax (or features->softmax) function, params folded in.
+
+    `variables` is a TrainState or a {'params','batch_stats'} mapping.
+    `include_preprocess=True` mirrors build_deployable_model's in-graph
+    preprocessing variant (factory/audio_nets.py:87-104); False expects
+    precomputed [B,H,W,1] features (:105-124).
+    """
+    if hasattr(variables, "params"):
+        params = variables.eval_params if use_ema else variables.params
+        batch_stats = variables.batch_stats
+    else:
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+
+    model = build_model(cfg.model, dsp.feature_shape(cfg.audio), cfg.train.compute_dtype)
+    bound = {"params": params, "batch_stats": batch_stats}
+
+    def infer(x: jnp.ndarray) -> jnp.ndarray:
+        if include_preprocess:
+            x = dsp.preprocess(x, cfg.audio)
+        logits = model.apply(bound, x, training=False)
+        return jax.nn.softmax(logits, axis=-1)
+
+    return infer
+
+
+def compile_inference(
+    cfg: ExperimentConfig,
+    variables,
+    batch_size: int = 1,
+    include_preprocess: bool = True,
+    use_ema: bool = False,
+):
+    """AOT-compile the inference fn for a fixed batch size.
+
+    Returns (compiled_executable, example_input_shape).
+    """
+    fn = build_inference_fn(cfg, variables, include_preprocess, use_ema)
+    if include_preprocess:
+        shape = (batch_size, cfg.audio.desired_samples)
+    else:
+        shape = (batch_size,) + dsp.feature_shape(cfg.audio)
+    example = jnp.zeros(shape, jnp.float32)
+    compiled = jax.jit(fn).lower(example).compile()
+    return compiled, shape
+
+
+def export_serialized(
+    cfg: ExperimentConfig,
+    variables,
+    batch_size: int = 1,
+    include_preprocess: bool = True,
+    use_ema: bool = False,
+    platforms: Tuple[str, ...] = ("cpu", "tpu"),
+) -> bytes:
+    """Portable serialized artifact (StableHLO via jax.export) — the
+    .pb/.tflite analog; reload with `jax.export.deserialize`. Lowered for
+    every platform in `platforms` so the artifact runs off-TPU too."""
+    from jax import export as jexport
+
+    fn = build_inference_fn(cfg, variables, include_preprocess, use_ema)
+    if include_preprocess:
+        shape = (batch_size, cfg.audio.desired_samples)
+    else:
+        shape = (batch_size,) + dsp.feature_shape(cfg.audio)
+    example = jax.ShapeDtypeStruct(shape, jnp.float32)
+    exported = jexport.export(jax.jit(fn), platforms=list(platforms))(example)
+    return exported.serialize()
+
+
+def load_serialized(data: bytes):
+    """Deserialize an exported artifact; returns a callable."""
+    from jax import export as jexport
+
+    exported = jexport.deserialize(data)
+    return lambda x: exported.call(x)

@@ -1,0 +1,118 @@
+"""Orbax-backed checkpointing with reference-equivalent semantics.
+
+Replaces tf.train.Saver + placeholder-feed Ckpt loading
+(helper/trainer.py:83-86,406-414; common/model_loader.py:11-165):
+  - save every `step_save_checkpoint` steps, keep `max_to_keep`;
+  - resume restores the full train state incl. global step (the
+    reference parsed the step from the ckpt filename,
+    common/tf_utils.py:237-247 — orbax tracks steps natively);
+  - partial restore with include/exclude scopes for transfer learning
+    (model_loader.py:42-83) via `restore_params_partial`.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Optional, Sequence
+
+import jax
+import orbax.checkpoint as ocp
+
+from tcresnet_tpu.utils import get_logger
+
+log = get_logger("ckpt")
+
+
+class CheckpointManager:
+    def __init__(self, directory, max_to_keep: int = 5):
+        self._dir = Path(directory).resolve()
+        self._dir.mkdir(parents=True, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self._dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    @property
+    def directory(self) -> Path:
+        return self._dir
+
+    def save(self, step: int, state, force: bool = False) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(state), force=force)
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def all_steps(self) -> Sequence[int]:
+        return sorted(self._mgr.all_steps())
+
+    def restore(self, state_like, step: Optional[int] = None):
+        """Restore a full train state; `state_like` supplies the pytree
+        structure/shardings (an abstract or concrete state)."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"No checkpoints under {self._dir}")
+        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, state_like)
+        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+        log.info(f"Restored checkpoint step {step} from {self._dir}")
+        return restored
+
+    def close(self) -> None:
+        self._mgr.close()
+
+
+def _path_matches(path_str: str, scopes: Sequence[str]) -> bool:
+    return any(re.search(s, path_str) for s in scopes)
+
+
+def restore_params_partial(
+    params,
+    restored_params,
+    include_scopes: Optional[Sequence[str]] = None,
+    exclude_scopes: Optional[Sequence[str]] = None,
+    ignore_missing: bool = False,
+):
+    """Merge `restored_params` into `params` with scope filters.
+
+    Equivalent capability to Ckpt's include/exclude scope restore
+    (common/model_loader.py:42-83). Scopes are regexes matched against
+    the '/'-joined param path.
+    """
+    flat_new = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+    flat_old = dict(jax.tree_util.tree_flatten_with_path(restored_params)[0])
+
+    def path_str(path):
+        return "/".join(str(getattr(k, "key", k)) for k in path)
+
+    merged = {}
+    for path, new_leaf in flat_new.items():
+        p = path_str(path)
+        wanted = True
+        if include_scopes:
+            wanted = _path_matches(p, include_scopes)
+        if wanted and exclude_scopes and _path_matches(p, exclude_scopes):
+            wanted = False
+        if wanted and path in flat_old:
+            old_leaf = flat_old[path]
+            if old_leaf.shape != new_leaf.shape:
+                if not ignore_missing:
+                    raise ValueError(
+                        f"Shape mismatch for {p}: {old_leaf.shape} vs {new_leaf.shape}"
+                    )
+                merged[path] = new_leaf
+            else:
+                merged[path] = old_leaf
+        elif wanted and not ignore_missing and path not in flat_old:
+            raise KeyError(f"Missing {p} in restored params")
+        else:
+            merged[path] = new_leaf
+
+    treedef = jax.tree_util.tree_structure(params)
+    ordered_paths = [p for p, _ in jax.tree_util.tree_flatten_with_path(params)[0]]
+    return jax.tree_util.tree_unflatten(treedef, [merged[p] for p in ordered_paths])

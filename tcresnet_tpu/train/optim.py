@@ -1,0 +1,91 @@
+"""Optimizer + LR-schedule construction from OptimConfig.
+
+Reference parity (helper/trainer.py):
+  - piecewise-constant LR over step boundaries (:107-137), with optional
+    epoch-unit boundaries and relative shift on restore;
+  - optimizers gd/adam/mom/rmsprop with TF-1.13 defaults (:171-197);
+  - EMA of trainable params applied after each step (:199-222) — tracked
+    in the train state (see state.py), decay semantics
+    shadow = decay*shadow + (1-decay)*param.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax.numpy as jnp
+import optax
+
+from tcresnet_tpu.config import OptimConfig
+
+
+def piecewise_constant(
+    boundaries: Sequence[int], values: Sequence[float]
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """tf.train.piecewise_constant: values[i] while step <= boundaries[i-1]...
+
+    TF semantics: lr = values[0] for step <= boundaries[0], values[i] for
+    boundaries[i-1] < step <= boundaries[i], values[-1] after. Implemented
+    as a searchsorted lookup (side='left' gives the <= behavior).
+    """
+    assert len(values) == len(boundaries) + 1, (boundaries, values)
+    b = jnp.asarray(boundaries, jnp.int32)
+    v = jnp.asarray(values, jnp.float32)
+
+    def schedule(step):
+        idx = jnp.searchsorted(b, jnp.asarray(step, jnp.int32), side="left")
+        return v[idx]
+
+    return schedule
+
+
+def resolve_boundaries(
+    cfg: OptimConfig,
+    steps_per_epoch: Optional[int] = None,
+    restore_step: int = 0,
+    relative: bool = False,
+) -> tuple:
+    """Boundary resolution incl. epoch units and relative shift
+    (helper/trainer.py:120-133)."""
+    boundaries = list(cfg.boundaries)
+    if cfg.boundaries_epoch:
+        if not steps_per_epoch:
+            raise ValueError("boundaries_epoch requires steps_per_epoch")
+        boundaries = [b * steps_per_epoch for b in boundaries]
+    if relative:
+        boundaries = [restore_step + b for b in boundaries]
+    return tuple(boundaries)
+
+
+def build_optimizer(
+    cfg: OptimConfig,
+    steps_per_epoch: Optional[int] = None,
+    restore_step: int = 0,
+    relative: bool = False,
+):
+    """Returns (optax.GradientTransformation, schedule_fn)."""
+    boundaries = resolve_boundaries(cfg, steps_per_epoch, restore_step, relative)
+    schedule = piecewise_constant(boundaries, cfg.lr_list)
+
+    if cfg.optimizer == "gd":
+        tx = optax.sgd(learning_rate=schedule)
+    elif cfg.optimizer == "mom":
+        tx = optax.sgd(learning_rate=schedule, momentum=cfg.momentum)
+    elif cfg.optimizer == "adam":
+        tx = optax.adam(learning_rate=schedule, eps=cfg.adam_epsilon)
+    elif cfg.optimizer == "rmsprop":
+        tx = optax.rmsprop(
+            learning_rate=schedule, decay=cfg.rmsprop_decay, eps=cfg.rmsprop_epsilon
+        )
+    else:
+        raise ValueError(f"Unknown optimizer {cfg.optimizer!r}")
+    return tx, schedule
+
+
+def ema_update(ema_params, params, decay: float):
+    """TF ExponentialMovingAverage.apply step."""
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda e, p: decay * e + (1.0 - decay) * p, ema_params, params
+    )

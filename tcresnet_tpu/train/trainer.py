@@ -1,0 +1,278 @@
+"""The training runtime: a fused, jitted, data-parallel train loop.
+
+TPU-native redesign of helper/trainer.py (reference train loop at
+:367-434). Key differences from the TF graph-mode original:
+
+- ONE jitted function performs: device-side batch sampling from the
+  HBM-resident dataset, augmentation, MFCC, forward, backward, optimizer
+  update, EMA, and metric computation. There is no host work or transfer
+  in the steady state.
+- Multiple steps are fused with `lax.scan` (`steps_per_call`) so host
+  dispatch latency is amortized — the reference paid a Session.run
+  round-trip per step (trainer.py:312-321).
+- Data parallelism: batch sharded over the mesh's `data` axis; XLA emits
+  the gradient all-reduce over ICI from the shardings (no NCCL/pmap
+  plumbing). BatchNorm batch statistics are global-batch statistics by
+  construction (jit global view).
+- Per-step randomness is derived by folding the global step into the run
+  seed — steps are deterministic and resume-exact.
+
+Retained reference semantics: piecewise LR, selective L2, label
+smoothing, EMA option, checkpoint-every-N, in-training evaluation on the
+training stream (trainer.py:416-417,436-460 — labeled train-stream-eval,
+SURVEY.md 7.5), tiered summary cadence, colored step logs with ms/step
+and ms/instance (trainer.py:258-293).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tcresnet_tpu.config import ExperimentConfig
+from tcresnet_tpu.data.device_data import DeviceDataset
+from tcresnet_tpu.metrics.writers import MetricWriter, should_write_summary
+from tcresnet_tpu.models import build_model, param_count
+from tcresnet_tpu.ops import augment as aug
+from tcresnet_tpu.ops import dsp
+from tcresnet_tpu.parallel import mesh as meshlib
+from tcresnet_tpu.train import loss as losslib
+from tcresnet_tpu.train import optim as optimlib
+from tcresnet_tpu.train.checkpoint import CheckpointManager
+from tcresnet_tpu.train.state import TrainState, create_train_state
+from tcresnet_tpu.utils import get_logger
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        train_data: DeviceDataset,
+        mesh=None,
+        workdir: Optional[str] = None,
+        steps_per_call: Optional[int] = None,
+    ):
+        self.cfg = cfg
+        self.data = train_data
+        self.mesh = mesh
+        self.log = get_logger("trainer")
+        self.workdir = Path(workdir or cfg.train.train_dir)
+        self.workdir.mkdir(parents=True, exist_ok=True)
+
+        self.feature_shape = dsp.feature_shape(cfg.audio)
+        self.model = build_model(cfg.model, self.feature_shape, cfg.train.compute_dtype)
+        self.tx, self.lr_schedule = optimlib.build_optimizer(
+            cfg.optim,
+            steps_per_epoch=max(train_data.num_samples // cfg.train.batch_size, 1),
+        )
+        # Fuse this many steps per host dispatch (amortizes host latency);
+        # summaries are written at call granularity.
+        self.steps_per_call = steps_per_call or max(
+            1, min(cfg.train.summary_step_default, cfg.train.step_save_checkpoint)
+        )
+
+        if train_data.num_classes != cfg.model.num_classes:
+            raise ValueError(
+                f"dataset has {train_data.num_classes} classes, config says "
+                f"{cfg.model.num_classes}"
+            )
+
+        self.ckpt = CheckpointManager(self.workdir / "ckpt", cfg.train.max_to_keep)
+        self.writer = MetricWriter(self.workdir, "train")
+        self.writer.write_text(0, "experiment_config", cfg.to_json())
+
+        self.state = self._init_state()
+        n_params = param_count(self.state.params)
+        self.log.info(
+            f"model={cfg.model.name} params={n_params:,} features={self.feature_shape} "
+            f"batch={cfg.train.batch_size} steps_per_call={self.steps_per_call}"
+        )
+        self._train_fn = self._build_train_fn()
+
+    # ------------------------------------------------------------------
+    # state init / restore
+    # ------------------------------------------------------------------
+
+    def _init_state(self) -> TrainState:
+        rng = jax.random.key(self.cfg.train.seed)
+        sample = jnp.zeros((2,) + self.feature_shape, jnp.float32)
+        state = create_train_state(
+            self.model, self.tx, rng, sample, use_ema=self.cfg.optim.use_ema
+        )
+        if self.mesh is not None:
+            repl = meshlib.replicated_sharding(self.mesh)
+            state = jax.device_put(state, repl)
+        return state
+
+    def maybe_restore(self) -> int:
+        """Resume from the latest checkpoint if one exists; returns step."""
+        step = self.ckpt.latest_step()
+        if step is not None:
+            self.state = self.ckpt.restore(self.state, step)
+        return int(self.state.step)
+
+    # ------------------------------------------------------------------
+    # the fused train step
+    # ------------------------------------------------------------------
+
+    def _loss_fn(self, params, batch_stats, batch, dropout_key):
+        wavs, labels, _ = batch
+        feats = dsp.preprocess(wavs, self.cfg.audio)
+        logits, mutated = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            feats,
+            training=True,
+            rngs={"dropout": dropout_key},
+            mutable=["batch_stats"],
+        )
+        onehot = jax.nn.one_hot(labels, self.cfg.model.num_classes)
+        model_loss = losslib.smoothed_softmax_cross_entropy(
+            logits, onehot, self.cfg.model.label_smoothing
+        )
+        l2 = losslib.l2_regularization(params, self.cfg.model.weight_decay)
+        total = model_loss + l2
+        acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+        aux = {
+            "model_loss": model_loss,
+            "l2_loss": l2,
+            "accuracy": acc,
+            "new_batch_stats": mutated.get("batch_stats", batch_stats),
+        }
+        return total, aux
+
+    def _one_step(self, state: TrainState, arrays, noise_bank) -> Tuple[TrainState, Dict]:
+        cfg = self.cfg
+        base = jax.random.key(cfg.train.seed)
+        step_key = jax.random.fold_in(base, state.step)
+        k_sample, k_aug, k_drop = jax.random.split(step_key, 3)
+
+        raw_wavs, labels, silent = DeviceDataset.sample_batch(
+            arrays, k_sample, cfg.train.batch_size, self.mesh
+        )
+        wavs = aug.augment_batch(
+            raw_wavs, silent, k_aug, cfg.augment, noise_bank, is_training=True
+        )
+        batch = (wavs, labels, silent)
+
+        (total, auxd), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, k_drop
+        )
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates
+        )
+        new_ema = (
+            optimlib.ema_update(state.ema_params, new_params, cfg.optim.ema_decay)
+            if state.ema_params is not None
+            else None
+        )
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=auxd["new_batch_stats"],
+            opt_state=new_opt,
+            ema_params=new_ema,
+        )
+        metrics = {
+            "total_loss": total,
+            "model_loss": auxd["model_loss"],
+            "l2_loss": auxd["l2_loss"],
+            "accuracy": auxd["accuracy"],
+            "learning_rate": self.lr_schedule(state.step),
+        }
+        return new_state, metrics
+
+    def _build_train_fn(self):
+        n_steps = self.steps_per_call
+
+        def train_n(state, wavs, labels, silent, noise_bank):
+            arrays = (wavs, labels, silent)
+
+            def body(carry, _):
+                new_state, metrics = self._one_step(carry, arrays, noise_bank)
+                return new_state, metrics
+
+            state, metrics = jax.lax.scan(body, state, None, length=n_steps)
+            # report the mean over the fused window (losses) and the last lr
+            summary = {k: jnp.mean(v) for k, v in metrics.items()}
+            summary["learning_rate"] = metrics["learning_rate"][-1]
+            return state, summary
+
+        return jax.jit(train_n, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    # the host loop
+    # ------------------------------------------------------------------
+
+    def train(self, max_step: Optional[int] = None) -> TrainState:
+        cfg = self.cfg.train
+        max_step = max_step or cfg.max_step
+        start = self.maybe_restore()
+        if start >= max_step:
+            self.log.info(f"Already at step {start} >= {max_step}")
+            return self.state
+
+        arrays = self.data.arrays
+        noise = self.data.noise_bank
+        if noise is None:
+            noise = jnp.zeros((0, 1), jnp.float32)
+        self.log.info(f"Training from step {start} to {max_step}")
+
+        step = start
+        t_last = time.perf_counter()
+        while step < max_step:
+            n = min(self.steps_per_call, max_step - step)
+            if n != self.steps_per_call:
+                fn = jax.jit(
+                    functools.partial(self._train_fn_with_length, n),
+                    donate_argnums=(0,),
+                )
+            else:
+                fn = self._train_fn
+            self.state, summary = fn(self.state, *arrays, noise)
+            step += n
+
+            if should_write_summary(
+                step, cfg.summary_step_default, cfg.summary_step_verbose, cfg.summary_first_n
+            ) or step >= max_step:
+                summary = {k: float(v) for k, v in summary.items()}
+                now = time.perf_counter()
+                ms_per_step = (now - t_last) / n * 1000
+                summary["ms_per_step"] = ms_per_step
+                summary["ms_per_instance"] = ms_per_step / self.cfg.train.batch_size
+                summary["utterances_per_sec"] = (
+                    self.cfg.train.batch_size * n / (now - t_last)
+                )
+                self.writer.write(step, summary)
+                self.log.info(
+                    f"step {step}: loss {summary['total_loss']:.4f} "
+                    f"acc {summary['accuracy']:.4f} lr {summary['learning_rate']:.4g} "
+                    f"{ms_per_step:.2f} ms/step "
+                    f"({summary['utterances_per_sec']:,.0f} utt/s)"
+                )
+            t_last = time.perf_counter()
+
+            if step % cfg.step_save_checkpoint == 0 or step >= max_step:
+                if step >= cfg.step_minimum_save:
+                    self.ckpt.save(step, jax.device_get(self.state))
+
+        self.ckpt.wait()
+        self.writer.flush()
+        return self.state
+
+    def _train_fn_with_length(self, n_steps, state, wavs, labels, silent, noise_bank):
+        arrays = (wavs, labels, silent)
+
+        def body(carry, _):
+            return self._one_step(carry, arrays, noise_bank)
+
+        state, metrics = jax.lax.scan(body, state, None, length=n_steps)
+        summary = {k: jnp.mean(v) for k, v in metrics.items()}
+        summary["learning_rate"] = metrics["learning_rate"][-1]
+        return state, summary

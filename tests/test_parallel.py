@@ -1,0 +1,79 @@
+"""Data-parallel training over a virtual 8-device CPU mesh.
+
+Validates the SURVEY.md 2.10 capability checklist: DP via Mesh+jit
+shardings (XLA-emitted gradient all-reduce), with the `model` axis
+present as a no-op TP axis.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from tcresnet_tpu.config import MeshConfig
+from tcresnet_tpu.data.device_data import DeviceDataset
+from tcresnet_tpu.data.synthetic import make_synthetic_dataset
+from tcresnet_tpu.evaluation.evaluator import Evaluator
+from tcresnet_tpu.parallel import make_mesh
+from tcresnet_tpu.train.trainer import Trainer
+
+from tests.test_train import tiny_config
+
+
+@pytest.fixture(scope="module")
+def mesh8(cpu_devices):
+    assert len(cpu_devices) == 8
+    return make_mesh(MeshConfig(), devices=cpu_devices)
+
+
+def test_mesh_axes(mesh8):
+    assert mesh8.axis_names == ("data", "model")
+    assert mesh8.devices.shape == (8, 1)
+
+
+def test_mesh_model_axis(cpu_devices):
+    mesh = make_mesh(MeshConfig(model=2), devices=cpu_devices)
+    assert mesh.devices.shape == (4, 2)
+
+
+def test_mesh_bad_model_axis(cpu_devices):
+    with pytest.raises(ValueError):
+        make_mesh(MeshConfig(model=3), devices=cpu_devices)
+
+
+def test_dp_training_on_8_devices(tmp_path, mesh8):
+    host = make_synthetic_dataset(num_samples=256, num_classes=4, desired_samples=4000, seed=2)
+    cfg = tiny_config(tmp_path / "dp", max_step=40)
+    with mesh8:
+        trainer = Trainer(cfg, DeviceDataset(host, mesh8), mesh=mesh8, workdir=tmp_path / "dp")
+        state = trainer.train()
+        assert int(state.step) == 40
+        # state must be fully replicated across the mesh
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        assert leaf.sharding.is_fully_replicated
+
+        ev = Evaluator(cfg, DeviceDataset(host, mesh8), mesh=mesh8)
+        metrics = ev.evaluate(state)
+        assert np.isfinite(metrics["loss"])
+        assert metrics["num_samples"] == 256
+
+
+def test_dp_matches_single_device(tmp_path, mesh8):
+    """Same seed, same data: 8-way DP must match single-device training
+    (the global batch and RNG derivation are identical by construction)."""
+    host = make_synthetic_dataset(num_samples=128, num_classes=4, desired_samples=4000, seed=3)
+    cfg = tiny_config(tmp_path / "a", max_step=8)
+
+    tr1 = Trainer(cfg, DeviceDataset(host), workdir=tmp_path / "a")
+    s1 = tr1.train()
+
+    cfg2 = tiny_config(tmp_path / "b", max_step=8)
+    with mesh8:
+        tr2 = Trainer(cfg2, DeviceDataset(host, mesh8), mesh=mesh8, workdir=tmp_path / "b")
+        s2 = tr2.train()
+
+    # Reduction order differs between sharded/unsharded layouts and Adam's
+    # rsqrt amplifies it early on; agreement to ~1e-3 abs after 8 steps
+    # demonstrates the same global batch + RNG stream is being consumed.
+    p1 = np.asarray(jax.tree_util.tree_leaves(s1.params)[0])
+    p2 = np.asarray(jax.tree_util.tree_leaves(s2.params)[0])
+    np.testing.assert_allclose(p1, p2, atol=1e-3)

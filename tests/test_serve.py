@@ -1,0 +1,87 @@
+"""AOT export / serving parity tests (BASELINE.md <=1e-5 softmax gate)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tcresnet_tpu.config import AudioConfig, ExperimentConfig, ModelConfig
+from tcresnet_tpu.models import build_model
+from tcresnet_tpu.ops import dsp
+from tcresnet_tpu.serve.benchmark import benchmark_compiled, format_report
+from tcresnet_tpu.serve.export import (
+    build_inference_fn,
+    compile_inference,
+    export_serialized,
+    load_serialized,
+)
+
+
+def small_cfg():
+    return ExperimentConfig(
+        audio=AudioConfig(clip_duration_ms=250, num_mfccs=20, num_mel_bins=32),
+        model=ModelConfig(name="TCResNet8", num_classes=4),
+    )
+
+
+def init_variables(cfg):
+    shape = dsp.feature_shape(cfg.audio)
+    model = build_model(cfg.model, shape)
+    x = jnp.zeros((1,) + shape, jnp.float32)
+    v = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, x, training=True)
+    return model, v
+
+
+def test_aot_parity_with_training_graph():
+    cfg = small_cfg()
+    model, variables = init_variables(cfg)
+    wavs = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (4, cfg.audio.desired_samples)).astype(np.float32)
+    )
+    # training-graph path (eval mode)
+    feats = dsp.preprocess(wavs, cfg.audio)
+    ref = jax.nn.softmax(model.apply(variables, feats, training=False))
+
+    compiled, shape = compile_inference(cfg, variables, batch_size=4)
+    assert shape == (4, cfg.audio.desired_samples)
+    got = compiled(wavs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_features_only_inference():
+    cfg = small_cfg()
+    model, variables = init_variables(cfg)
+    fn = build_inference_fn(cfg, variables, include_preprocess=False)
+    shape = dsp.feature_shape(cfg.audio)
+    feats = jnp.asarray(np.random.default_rng(1).normal(size=(2,) + shape).astype(np.float32))
+    out = fn(feats)
+    assert out.shape == (2, 4)
+    np.testing.assert_allclose(np.asarray(out).sum(-1), 1.0, atol=1e-5)
+
+
+def test_serialized_export_roundtrip():
+    cfg = small_cfg()
+    model, variables = init_variables(cfg)
+    data = export_serialized(cfg, variables, batch_size=2)
+    assert isinstance(data, (bytes, bytearray)) and len(data) > 1000
+
+    loaded = load_serialized(data)
+    wavs = jnp.asarray(
+        np.random.default_rng(2).uniform(-1, 1, (2, cfg.audio.desired_samples)).astype(np.float32)
+    )
+    fn = build_inference_fn(cfg, variables)
+    np.testing.assert_allclose(
+        np.asarray(loaded(wavs)), np.asarray(fn(wavs)), atol=1e-5
+    )
+
+
+def test_benchmark_protocol():
+    cfg = small_cfg()
+    model, variables = init_variables(cfg)
+    compiled, _ = compile_inference(cfg, variables, batch_size=1)
+    wav = jnp.zeros((1, cfg.audio.desired_samples), jnp.float32)
+    stats = benchmark_compiled(compiled, wav, warmup_runs=3, num_runs=10)
+    assert stats["count"] == 10
+    assert stats["min"] <= stats["avg"] <= stats["max"]
+    assert stats["min"] > 0
+    report = format_report(stats)
+    assert "avg=" in report and "count=10" in report

@@ -1,0 +1,172 @@
+"""Trainer/evaluator/best-keeper tests: the overfit-tiny-batch gate.
+
+SURVEY.md section 4: the rebuild creates the test pyramid the reference
+lacks — this file holds the training-convergence and resume tests.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tcresnet_tpu.config import (
+    AudioConfig,
+    AugmentConfig,
+    DataConfig,
+    ExperimentConfig,
+    ModelConfig,
+    OptimConfig,
+    TrainConfig,
+)
+from tcresnet_tpu.data.device_data import DeviceDataset
+from tcresnet_tpu.data.synthetic import make_synthetic_dataset
+from tcresnet_tpu.evaluation.best_keeper import BestKeeper
+from tcresnet_tpu.evaluation.evaluator import Evaluator
+from tcresnet_tpu.train import loss as losslib
+from tcresnet_tpu.train import optim as optimlib
+from tcresnet_tpu.train.trainer import Trainer
+
+
+def tiny_config(workdir, max_step=60, **model_kw) -> ExperimentConfig:
+    """Small clips (250ms -> 23 frames) keep CPU tests fast."""
+    return ExperimentConfig(
+        audio=AudioConfig(clip_duration_ms=250, num_mfccs=20, num_mel_bins=32),
+        augment=AugmentConfig(background_frequency=0.2, background_max_volume=0.05),
+        model=ModelConfig(name="TCResNet8", num_classes=4, weight_decay=1e-4, **model_kw),
+        optim=OptimConfig(optimizer="adam", lr_list=(3e-3,), boundaries=()),
+        train=TrainConfig(
+            batch_size=32, max_step=max_step, step_save_checkpoint=30,
+            max_to_keep=3, train_dir=str(workdir),
+        ),
+        data=DataConfig(eval_batch_size=64),
+    )
+
+
+@pytest.fixture()
+def tiny_data():
+    return make_synthetic_dataset(
+        num_samples=256, num_classes=4, desired_samples=4000, seed=1
+    )
+
+
+def test_lr_schedule_piecewise():
+    sched = optimlib.piecewise_constant([10, 20], [0.1, 0.01, 0.001])
+    # TF semantics: values[0] while step <= boundaries[0]
+    assert float(sched(0)) == pytest.approx(0.1)
+    assert float(sched(10)) == pytest.approx(0.1)
+    assert float(sched(11)) == pytest.approx(0.01)
+    assert float(sched(20)) == pytest.approx(0.01)
+    assert float(sched(21)) == pytest.approx(0.001)
+    assert float(sched(10**6)) == pytest.approx(0.001)
+
+
+def test_label_smoothing_math():
+    logits = jnp.asarray([[2.0, 0.0, -1.0]])
+    onehot = jnp.asarray([[1.0, 0.0, 0.0]])
+    plain = losslib.smoothed_softmax_cross_entropy(logits, onehot, 0.0)
+    lp = jax.nn.log_softmax(logits)[0]
+    np.testing.assert_allclose(float(plain), float(-lp[0]), rtol=1e-6)
+    smooth = losslib.smoothed_softmax_cross_entropy(logits, onehot, 0.3)
+    y = onehot * 0.7 + 0.1
+    want = float(-(y[0] * lp).sum())
+    np.testing.assert_allclose(float(smooth), want, rtol=1e-6)
+
+
+def test_l2_excludes_batchnorm():
+    params = {
+        "conv0_conv": {"kernel": jnp.ones((2, 2))},
+        "conv0_bn": {"scale": jnp.ones((5,)) * 10, "bias": jnp.ones((5,)) * 10},
+    }
+    l2 = losslib.l2_regularization(params, weight_decay=2.0)
+    # only the 4 kernel ones count: 2.0 * 0.5 * 4 = 4.0
+    np.testing.assert_allclose(float(l2), 4.0)
+
+
+def test_overfit_tiny_dataset(tmp_path, tiny_data):
+    cfg = tiny_config(tmp_path / "run", max_step=150)
+    trainer = Trainer(cfg, DeviceDataset(tiny_data), workdir=tmp_path / "run")
+    state = trainer.train()
+    assert int(state.step) == 150
+
+    evaluator = Evaluator(cfg, DeviceDataset(tiny_data))
+    metrics = evaluator.evaluate(state)
+    # 4 distinct tones, 256 samples: must overfit far above chance (0.25)
+    assert metrics["accuracy"] > 0.9, metrics
+    assert metrics["num_samples"] == 256
+    assert "mAP_macro" in metrics and "top5_accuracy" in metrics
+    # per-class metrics present (num classes < 10)
+    assert any(k.startswith("precision/") for k in metrics)
+
+
+def test_checkpoint_save_resume(tmp_path, tiny_data):
+    cfg = tiny_config(tmp_path / "run", max_step=30)
+    tr1 = Trainer(cfg, DeviceDataset(tiny_data), workdir=tmp_path / "run")
+    s1 = tr1.train()
+    assert int(s1.step) == 30
+    tr1.ckpt.wait()
+
+    # fresh trainer resumes from the checkpoint and continues
+    cfg2 = tiny_config(tmp_path / "run", max_step=40)
+    tr2 = Trainer(cfg2, DeviceDataset(tiny_data), workdir=tmp_path / "run")
+    restored = tr2.maybe_restore()
+    assert restored == 30
+    p_old = jax.tree_util.tree_leaves(s1.params)[0]
+    p_new = jax.tree_util.tree_leaves(tr2.state.params)[0]
+    np.testing.assert_allclose(np.asarray(p_old), np.asarray(p_new), atol=1e-7)
+    s2 = tr2.train()
+    assert int(s2.step) == 40
+
+
+def test_ema_tracking(tmp_path, tiny_data):
+    cfg = tiny_config(tmp_path / "run", max_step=10)
+    cfg = cfg.replace(optim=OptimConfig(optimizer="adam", lr_list=(1e-3,), boundaries=(),
+                                        use_ema=True, ema_decay=0.9))
+    tr = Trainer(cfg, DeviceDataset(tiny_data), workdir=tmp_path / "run")
+    state = tr.train()
+    assert state.ema_params is not None
+    p = jax.tree_util.tree_leaves(state.params)[0]
+    e = jax.tree_util.tree_leaves(state.ema_params)[0]
+    assert not np.allclose(np.asarray(p), np.asarray(e))  # EMA lags params
+
+
+def test_best_keeper_roundtrip(tmp_path):
+    bk = BestKeeper({"accuracy": "max", "loss": "min"}, "valid", tmp_path)
+    keep, which = bk.monitor({"accuracy": 0.5, "loss": 1.0})
+    assert keep and which == {"accuracy": True, "loss": True}
+    bk.save_scores(which, {"accuracy": 0.5, "loss": 1.0}, {"step": 100})
+
+    # tiny improvement below epsilon is NOT kept
+    keep, which = bk.monitor({"accuracy": 0.50001, "loss": 0.99999})
+    assert not keep
+
+    keep, which = bk.monitor({"accuracy": 0.6, "loss": 2.0})
+    assert which == {"accuracy": True, "loss": False}
+    bk.save_scores(which, {"accuracy": 0.6, "loss": 2.0}, {"step": 200})
+
+    # resume: best restored from scores.tsv
+    bk2 = BestKeeper({"accuracy": "max", "loss": "min"}, "valid", tmp_path)
+    assert bk2.metric_best["accuracy"] == pytest.approx(0.6)
+    assert bk2.metric_best["loss"] == pytest.approx(1.0)
+    keep, _ = bk2.monitor({"accuracy": 0.55, "loss": 3.0})
+    assert not keep
+
+
+def test_eval_padding_masks_partial_batch(tiny_data):
+    cfg = tiny_config("/tmp/unused")
+    cfg = cfg.replace(data=DataConfig(eval_batch_size=100))  # 256 % 100 != 0
+    dd = DeviceDataset(tiny_data)
+    ev = Evaluator(cfg, dd)
+    tr_cfg = tiny_config("/tmp/unused2", max_step=1)
+    # fresh params suffice: we only check sample accounting
+    from tcresnet_tpu.train.state import create_train_state
+    from tcresnet_tpu.train.optim import build_optimizer
+    from tcresnet_tpu.models import build_model
+    from tcresnet_tpu.ops import dsp
+    model = build_model(cfg.model, dsp.feature_shape(cfg.audio))
+    tx, _ = build_optimizer(cfg.optim)
+    state = create_train_state(
+        model, tx, jax.random.key(0),
+        jnp.zeros((2,) + dsp.feature_shape(cfg.audio), jnp.float32),
+    )
+    metrics = ev.evaluate(state)
+    assert metrics["num_samples"] == 256

@@ -1,0 +1,41 @@
+"""Watching-evaluator integration: train -> watch -> best promotion."""
+
+import numpy as np
+
+from tcresnet_tpu.data.device_data import DeviceDataset
+from tcresnet_tpu.data.synthetic import make_synthetic_dataset
+from tcresnet_tpu.evaluation.watcher import WatchingEvaluator, checkpoint_iterator
+from tcresnet_tpu.train.trainer import Trainer
+
+from tests.test_train import tiny_config
+
+
+def test_watcher_evaluates_and_promotes(tmp_path):
+    host = make_synthetic_dataset(num_samples=192, num_classes=4, desired_samples=4000, seed=4)
+    valid = make_synthetic_dataset(num_samples=64, num_classes=4, desired_samples=4000, seed=5)
+
+    cfg = tiny_config(tmp_path / "run", max_step=60)  # ckpts at 30, 60
+    trainer = Trainer(cfg, DeviceDataset(host), workdir=tmp_path / "run")
+    trainer.train()
+    trainer.ckpt.wait()
+
+    valid.split = "valid"
+    watcher = WatchingEvaluator(cfg, DeviceDataset(valid), tmp_path / "run")
+    scores = watcher.watch(max_step=60, poll_interval=0.1, timeout=1.0)
+    assert scores is not None and np.isfinite(scores["loss"])
+
+    # best promoted for accuracy with scores.tsv
+    best = watcher.best_keeper.best_checkpoint_dir("accuracy")
+    assert best is not None and best.name in ("30", "60")
+    tsv = best.parent / "scores.tsv"
+    assert tsv.exists()
+    header = tsv.read_text().splitlines()[0].split("\t")
+    assert "accuracy" in header and "step" in header and "model_size" in header
+
+
+def test_checkpoint_iterator_timeout(tmp_path):
+    from tcresnet_tpu.train.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(tmp_path / "empty")
+    steps = list(checkpoint_iterator(ckpt, poll_interval=0.05, timeout=0.2))
+    assert steps == []

@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Evaluate CLI.
+
+Reference parity: /root/reference/evaluate_audio.py — `--valid-type once`
+evaluates the latest (or a specific) checkpoint; `--valid-type loop`
+watches the train dir, scores every new checkpoint and promotes bests
+(the reference's second-process pattern, SURVEY.md section 1 layer 10).
+
+Examples:
+  python tools/evaluate.py --preset TCResNet8-1.0 --train-dir runs/x \
+      --dataset-root ~/gsc_v1 --split valid --valid-type loop
+  python tools/evaluate.py --preset TCResNet8-1.0 --train-dir runs/x \
+      --synthetic --split test --valid-type once
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tools.train import build_config, load_split  # noqa: E402
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="TCResNet8-1.0")
+    p.add_argument("--dataset-root", default=None)
+    p.add_argument("--cache-dir", default=None)
+    p.add_argument("--train-dir", required=True)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic-samples", type=int, default=4096)
+    p.add_argument("--split", default="valid")
+    p.add_argument("--valid-type", choices=["once", "loop"], default="once")
+    p.add_argument("--step", type=int, default=None,
+                   help="checkpoint step for --valid-type once (default latest)")
+    p.add_argument("--max-step", type=int, default=None)
+    p.add_argument("--timeout", type=float, default=None,
+                   help="loop mode: stop after this many idle seconds")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--compute-dtype", default=None)
+    p.add_argument("--num-silent", type=int, default=None)
+    p.add_argument("--steps-per-call", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    args.train_dir_raw = args.train_dir
+    cfg = build_config(args)
+
+    from tcresnet_tpu.data.device_data import DeviceDataset
+    from tcresnet_tpu.evaluation.watcher import WatchingEvaluator
+    from tcresnet_tpu.parallel import make_mesh
+    from tcresnet_tpu.utils import get_logger
+
+    log = get_logger("eval_cli")
+    mesh = make_mesh(cfg.mesh)
+    host = load_split(cfg, args.split)
+    watcher = WatchingEvaluator(
+        cfg, DeviceDataset(host, mesh), args.train_dir, mesh=mesh
+    )
+
+    if args.valid_type == "once":
+        step = args.step if args.step is not None else watcher.ckpt.latest_step()
+        if step is None:
+            raise SystemExit(f"No checkpoints under {args.train_dir}/ckpt")
+        scores = watcher.evaluate_once(step)
+    else:
+        scores = watcher.watch(max_step=args.max_step, timeout=args.timeout)
+    if scores:
+        for k in sorted(scores):
+            if not isinstance(scores[k], str) and "/" not in k:
+                log.info(f"{args.split}/{k}: {scores[k]:.5f}")
+
+
+if __name__ == "__main__":
+    main()

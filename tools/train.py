@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Train CLI.
+
+Reference parity: /root/reference/train_audio.py (+ the shell scripts in
+scripts/commands/). Select a preset or compose config overrides;
+train_dir supports the reference's %DATE%/%USER% placeholders
+(common/utils.py:22-59).
+
+Examples:
+  python tools/train.py --preset TCResNet8-1.0 --dataset-root ~/gsc_v1 \
+      --train-dir runs/%DATE%_tcresnet8
+  python tools/train.py --preset TCResNet8-1.0 --synthetic --max-step 500
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import datetime
+import getpass
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def expand_train_dir(train_dir: str) -> str:
+    """%DATE% / %USER% placeholder expansion (common/utils.py:22-59)."""
+    return train_dir.replace(
+        "%DATE%", datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+    ).replace("%USER%", getpass.getuser())
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="TCResNet8-1.0")
+    p.add_argument("--dataset-root", default=None)
+    p.add_argument("--cache-dir", default=None)
+    p.add_argument("--train-dir", default=None)
+    p.add_argument("--synthetic", action="store_true",
+                   help="use the synthetic dataset (no Speech Commands needed)")
+    p.add_argument("--synthetic-samples", type=int, default=4096)
+    p.add_argument("--max-step", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--compute-dtype", choices=["float32", "bfloat16"], default=None)
+    p.add_argument("--eval-split", default="valid",
+                   help="split evaluated after training ('' to skip)")
+    p.add_argument("--num-silent", type=int, default=None)
+    p.add_argument("--steps-per-call", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def build_config(args):
+    from tcresnet_tpu.config import get_preset
+
+    cfg = get_preset(args.preset)
+    train_kw = {}
+    for field, attr in [
+        ("max_step", "max_step"), ("batch_size", "batch_size"), ("seed", "seed"),
+        ("compute_dtype", "compute_dtype"),
+    ]:
+        v = getattr(args, attr)
+        if v is not None:
+            train_kw[field] = v
+    if args.train_dir:
+        train_kw["train_dir"] = expand_train_dir(args.train_dir)
+    if train_kw:
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, **train_kw))
+    data_kw = {}
+    if args.dataset_root:
+        data_kw["dataset_root"] = args.dataset_root
+    if args.cache_dir:
+        data_kw["cache_dir"] = args.cache_dir
+    if args.synthetic:
+        data_kw["use_synthetic"] = True
+        data_kw["synthetic_num_samples"] = args.synthetic_samples
+    if data_kw:
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, **data_kw))
+    if args.num_silent is not None:
+        cfg = cfg.replace(
+            augment=dataclasses.replace(cfg.augment, num_silent=args.num_silent)
+        )
+    return cfg
+
+
+def load_split(cfg, split):
+    from tcresnet_tpu.data import load_speech_commands, make_synthetic_dataset
+
+    if cfg.data.use_synthetic:
+        n = cfg.data.synthetic_num_samples
+        if split != "train":
+            n = max(n // 8, 128)
+        return make_synthetic_dataset(
+            num_samples=n,
+            num_classes=cfg.model.num_classes,
+            desired_samples=cfg.audio.desired_samples,
+            seed=0 if split == "train" else 1,
+            split=split,
+        )
+    if not cfg.data.dataset_root:
+        raise SystemExit("--dataset-root is required (or pass --synthetic)")
+    return load_speech_commands(
+        cfg.data.dataset_root,
+        split,
+        desired_samples=cfg.audio.desired_samples,
+        num_silent=cfg.augment.num_silent,
+        cache_dir=cfg.data.cache_dir or None,
+    )
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = build_config(args)
+
+    from tcresnet_tpu.data.device_data import DeviceDataset
+    from tcresnet_tpu.evaluation.watcher import WatchingEvaluator
+    from tcresnet_tpu.parallel import make_mesh
+    from tcresnet_tpu.train import Trainer
+    from tcresnet_tpu.utils import get_logger
+
+    log = get_logger("train_cli")
+    mesh = make_mesh(cfg.mesh)
+    log.info(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+
+    train_host = load_split(cfg, "train")
+    trainer = Trainer(
+        cfg, DeviceDataset(train_host, mesh), mesh=mesh,
+        workdir=cfg.train.train_dir, steps_per_call=args.steps_per_call,
+    )
+    state = trainer.train(args.max_step)
+    log.info(f"training done at step {int(state.step)}")
+
+    if args.eval_split:
+        try:
+            eval_host = load_split(cfg, args.eval_split)
+        except (FileNotFoundError, SystemExit) as e:
+            log.warning(f"skipping eval: {e}")
+            return
+        watcher = WatchingEvaluator(
+            cfg, DeviceDataset(eval_host, mesh), trainer.workdir, mesh=mesh
+        )
+        scores = watcher.evaluate_once(int(state.step))
+        log.info(
+            f"{args.eval_split}: accuracy {scores['accuracy']:.4f} "
+            f"loss {scores['loss']:.4f}"
+        )
+
+
+if __name__ == "__main__":
+    main()
