@@ -62,16 +62,19 @@ def main():
         noise = trainer.data.noise_bank
         state = trainer.state
 
-        # warmup / compile
-        state, _ = trainer._train_fn(state, *arrays, noise)
-        jax.block_until_ready(state.params)
+        # warmup / compile; the float() fetch forces real synchronization
+        # (block_until_ready is not a reliable barrier through the axon
+        # device tunnel).
+        state, summary = trainer._train_fn(state, *arrays, noise)
+        float(summary["total_loss"])
 
-        # timed: 5 fused calls = 100 steps
+        # timed: 5 fused calls = 100 steps; each step depends on the
+        # previous state, so fetching the last summary syncs the chain
         calls = 5
         t0 = time.perf_counter()
         for _ in range(calls):
             state, summary = trainer._train_fn(state, *arrays, noise)
-        jax.block_until_ready(state.params)
+        assert float(summary["total_loss"]) > 0
         dt = time.perf_counter() - t0
 
     utt_per_sec = batch * steps_per_call * calls / dt

@@ -32,6 +32,11 @@ class AudioConfig:
     # "mfcc" | "log_mel_spectrogram" | "no_preprocessing"
     # (reference: datasets/preprocessor_factory.py:6-12)
     preprocess_method: str = "mfcc"
+    # "xla": framing gather + MXU matmuls; "pallas": fused single-kernel
+    # front end (ops/pallas/mfcc.py). Measured equal on v5e (both
+    # compute-bound fp32, bit-exact agreement); pallas costs one extra
+    # ~2.5-min kernel compile, so xla is the default.
+    dsp_backend: str = "xla"
 
     @property
     def desired_samples(self) -> int:

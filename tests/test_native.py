@@ -1,0 +1,64 @@
+"""C++ batch decoder: build, parity vs numpy decode, error handling."""
+
+import numpy as np
+import pytest
+
+from tcresnet_tpu.data import native_loader
+from tcresnet_tpu.data import wav as wavlib
+
+
+@pytest.fixture(scope="module")
+def wav_files(tmp_path_factory):
+    root = tmp_path_factory.mktemp("wavs")
+    rng = np.random.default_rng(0)
+    paths = []
+    for i, n in enumerate([16000, 8000, 24000]):  # exact, short, long
+        sig = rng.uniform(-0.9, 0.9, n).astype(np.float32)
+        p = root / f"{i}.wav"
+        wavlib.write_wav_pcm16(p, sig)
+        paths.append(str(p))
+    return paths
+
+
+def test_native_lib_builds():
+    assert native_loader.available(), "C++ decoder failed to build/load"
+
+
+def test_decode_batch_matches_numpy(wav_files):
+    got = native_loader.decode_batch(wav_files, 16000)
+    assert got is not None and got.shape == (3, 16000) and got.dtype == np.int16
+    for i, p in enumerate(wav_files):
+        want, _ = wavlib.decode_wav_int16(p, 16000)
+        np.testing.assert_array_equal(got[i], want)
+
+
+def test_decode_bad_file_raises(tmp_path, wav_files):
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"this is not a wav file at all...")
+    with pytest.raises(ValueError, match="failed to decode"):
+        native_loader.decode_batch([wav_files[0], str(bad)], 16000)
+
+
+def test_wav_num_samples(wav_files):
+    assert native_loader.wav_num_samples(wav_files[0]) == 16000
+    assert native_loader.wav_num_samples(wav_files[1]) == 8000
+    assert native_loader.wav_num_samples("/nonexistent.wav") is None
+
+
+def test_stereo_first_channel(tmp_path):
+    # hand-build a stereo PCM16 wav; decoder must take channel 0
+    import struct, wave
+
+    p = tmp_path / "stereo.wav"
+    left = (np.arange(100) * 100).astype(np.int16)
+    right = np.full(100, -7, np.int16)
+    inter = np.empty(200, np.int16)
+    inter[0::2], inter[1::2] = left, right
+    with wave.open(str(p), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(inter.tobytes())
+    got = native_loader.decode_batch([str(p)], 100)
+    if got is not None:
+        np.testing.assert_array_equal(got[0], left)

@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Export CLI — the freeze.py replacement.
+
+Reference parity: /root/reference/freeze.py (ckpt -> frozen .pb, then
+tflite_convert per README.md:56-60). Here: checkpoint -> AOT-compiled
+inference function, optionally serialized as a portable StableHLO
+artifact (.jaxexport), with softmax-parity verification against the
+training graph (BASELINE.md <=1e-5 gate).
+
+Examples:
+  python tools/export.py --preset TCResNet8-1.0 --train-dir runs/x \
+      --output model.jaxexport
+  python tools/export.py --preset TCResNet8-1.0 --train-dir runs/x \
+      --no-preprocess --batch-size 1 --benchmark
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="TCResNet8-1.0")
+    p.add_argument("--train-dir", required=True)
+    p.add_argument("--step", type=int, default=None)
+    p.add_argument("--output", default=None, help="write serialized artifact here")
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--no-preprocess", action="store_true",
+                   help="export the features->softmax graph only "
+                        "(freeze.py include_preprocess=False parity)")
+    p.add_argument("--use-ema", action="store_true")
+    p.add_argument("--benchmark", action="store_true",
+                   help="run the 10-warmup/50-run latency protocol")
+    p.add_argument("--best-metric", default=None,
+                   help="load the promoted best ckpt for this metric "
+                        "(e.g. accuracy) instead of the latest")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tcresnet_tpu.config import get_preset
+    from tcresnet_tpu.ops import dsp
+    from tcresnet_tpu.serve.benchmark import benchmark_compiled, format_report
+    from tcresnet_tpu.serve.export import (
+        build_inference_fn,
+        compile_inference,
+        export_serialized,
+    )
+    from tcresnet_tpu.evaluation.watcher import WatchingEvaluator  # noqa: F401
+    from tcresnet_tpu.train.checkpoint import CheckpointManager
+    from tcresnet_tpu.train.optim import build_optimizer
+    from tcresnet_tpu.train.state import create_train_state
+    from tcresnet_tpu.models import build_model
+    from tcresnet_tpu.utils import get_logger
+    import jax
+
+    log = get_logger("export_cli")
+    cfg = get_preset(args.preset)
+
+    ckpt_dir = Path(args.train_dir) / "ckpt"
+    if args.best_metric:
+        from tcresnet_tpu.evaluation.best_keeper import BestKeeper
+
+        bk_dir = Path(args.train_dir) / "best"
+        bk = BestKeeper({args.best_metric: "max"}, "valid", bk_dir)
+        best = bk.best_checkpoint_dir(args.best_metric)
+        if best is None:
+            raise SystemExit(f"No promoted best ckpt for {args.best_metric}")
+        ckpt_dir = best.parent
+        args.step = int(best.name)
+        log.info(f"Using best-{args.best_metric} checkpoint: {best}")
+
+    ckpt = CheckpointManager(ckpt_dir)
+    shape = dsp.feature_shape(cfg.audio)
+    model = build_model(cfg.model, shape, cfg.train.compute_dtype)
+    tx, _ = build_optimizer(cfg.optim)
+    template = create_train_state(
+        model, tx, jax.random.key(0),
+        jnp.zeros((2,) + shape, jnp.float32), use_ema=cfg.optim.use_ema,
+    )
+    state = ckpt.restore(template, args.step)
+
+    include_preprocess = not args.no_preprocess
+    compiled, in_shape = compile_inference(
+        cfg, state, args.batch_size, include_preprocess, args.use_ema
+    )
+    log.info(f"AOT-compiled inference: input {in_shape} -> softmax")
+
+    # parity check vs the (eval-mode) training graph
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, in_shape).astype(np.float32))
+    fn = build_inference_fn(cfg, state, include_preprocess, args.use_ema)
+    ref, got = np.asarray(fn(x)), np.asarray(compiled(x))
+    max_err = np.abs(ref - got).max()
+    log.info(f"softmax parity (AOT vs training graph): max abs {max_err:.2e}")
+    assert max_err <= 1e-5, "parity gate failed"
+
+    if args.output:
+        data = export_serialized(
+            cfg, state, args.batch_size, include_preprocess, args.use_ema
+        )
+        Path(args.output).write_bytes(bytes(data))
+        log.info(f"Wrote {len(data)} bytes to {args.output}")
+
+    if args.benchmark:
+        stats = benchmark_compiled(compiled, x)
+        log.info(f"latency (us): {format_report(stats)}")
+
+
+if __name__ == "__main__":
+    main()
