@@ -23,7 +23,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
-def main():
+def main(argv=None):
+    import argparse
     import dataclasses
     import tempfile
 
@@ -35,13 +36,21 @@ def main():
     from tcresnet_tpu.parallel import make_mesh
     from tcresnet_tpu.train.trainer import Trainer
 
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=4096)
+    p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--steps-per-call", type=int, default=20)
+    args = p.parse_args(argv)
+
     cfg = get_preset("TCResNet8-1.0")
     # Reference recipe is batch 100 on one GPU (SURVEY.md 6.2); on TPU we
     # scale the per-step batch to fill the chip — throughput is the metric.
-    batch = 2048
-    steps_per_call = 20
+    batch = args.batch
+    steps_per_call = args.steps_per_call
     cfg = cfg.replace(
-        train=dataclasses.replace(cfg.train, batch_size=batch, max_step=10**9)
+        train=dataclasses.replace(
+            cfg.train, batch_size=batch, max_step=10**9, compute_dtype=args.dtype
+        )
     )
 
     # Speech-Commands-scale dataset resident in HBM (24k utterances).

@@ -68,6 +68,9 @@ class AugmentConfig:
     # -1: auto = num_samples // num_labels
     # (reference: datasets/audio_data_wrapper.py:164-174)
     num_silent: int = -1
+    # "auto": fused Pallas kernel on TPU (3.7x faster, bit-identical
+    # given the same draws), XLA path elsewhere; or force "xla"/"pallas".
+    backend: str = "auto"
 
 
 @dataclass(frozen=True)

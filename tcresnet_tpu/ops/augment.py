@@ -26,6 +26,60 @@ import jax.numpy as jnp
 
 from tcresnet_tpu.config import AugmentConfig
 
+_LANES = 128
+
+
+def dynamic_window_rows(
+    padded: jnp.ndarray, start: jnp.ndarray, out_len: int
+) -> jnp.ndarray:
+    """Batched contiguous window read at per-row dynamic offsets, TPU-fast.
+
+    Returns y with y[b, t] = padded[b, start[b] + t] for t < out_len.
+    Requires padded.shape[-1] % 128 == 0, out_len % 128 == 0, and
+    0 <= start[b] <= padded.shape[-1] - out_len.
+
+    Why not a gather: lane-dimension gathers (take_along_axis on the minor
+    axis) measure ~700 ms for a [2048, 16000] read on v5e, and vmapped
+    roll/dynamic_slice ~8 ms. This formulation decomposes the offset as
+    start = q*128 + r: the q part is a SUBLANE gather (fast on TPU), and
+    the r part is a batched 128x128 one-hot matmul with a carry term
+    (MXU work, ~17 GFLOP at batch 2048) — exact, no distribution change.
+    """
+    batch, total = padded.shape
+    assert total % _LANES == 0 and out_len % _LANES == 0
+    j = out_len // _LANES
+    x = padded.reshape(batch, total // _LANES, _LANES)
+
+    q = start // _LANES
+    r = start % _LANES
+
+    # sublane gather of the J+1 rows covering the window (+1 for carry).
+    # The carry row index can exceed the last row only when r == 0, where
+    # its matmul coefficient is identically zero — clip (NOT the default
+    # NaN fill: NaN * 0 would poison the output).
+    subidx = q[:, None] + jnp.arange(j + 1)[None, :]
+    y = jnp.take_along_axis(x, subidx[:, :, None], axis=1, mode="clip")
+
+    # lane remainder via one-hot matmuls:
+    #   out[b, j, l] = y[b, j, l + r]            (l + r < 128)
+    #                + y[b, j+1, l + r - 128]    (l + r >= 128)
+    lanes = jnp.arange(_LANES)
+    lp = lanes[None, :, None]  # l' (source lane)
+    lo = lanes[None, None, :]  # l  (output lane)
+    rr = r[:, None, None]
+    a = (lp == lo + rr).astype(padded.dtype)  # [B, 128, 128]
+    c = (lp + _LANES == lo + rr).astype(padded.dtype)
+    out = jnp.einsum(
+        "bjk,bkl->bjl", y[:, :j], a, preferred_element_type=jnp.float32
+    ) + jnp.einsum(
+        "bjk,bkl->bjl", y[:, 1 : j + 1], c, preferred_element_type=jnp.float32
+    )
+    return out.reshape(batch, out_len)
+
+
+def _pad_to_lanes(n: int) -> int:
+    return (-n) % _LANES
+
 
 def time_shift(wavs: jnp.ndarray, key: jax.Array, shift_ratio: float) -> jnp.ndarray:
     """Randomly shift each wav in time, zero-padding the gap.
@@ -33,8 +87,9 @@ def time_shift(wavs: jnp.ndarray, key: jax.Array, shift_ratio: float) -> jnp.nda
     Equivalent to the reference's pad+slice (_shift_audio,
     augmentation_factory.py:104-143): shift amount s ~ U[-T, T) where
     T = int(N * shift_ratio); s > 0 delays the audio (zeros in front),
-    s < 0 advances it (zeros at the end). Implemented as a batched roll
-    plus wraparound masking — one fused VPU pass, no gathers.
+    s < 0 advances it (zeros at the end). Implemented as a padded
+    dynamic-window read (see dynamic_window_rows) — exact semantics,
+    sublane-gather + MXU matmul instead of gathers/rolls.
     """
     batch, num_samples = wavs.shape
     max_shift = int(num_samples * shift_ratio)
@@ -42,12 +97,15 @@ def time_shift(wavs: jnp.ndarray, key: jax.Array, shift_ratio: float) -> jnp.nda
         return wavs
     shifts = jax.random.randint(key, (batch,), -max_shift, max_shift)
 
-    pos = jnp.arange(num_samples)[None, :]
-    s = shifts[:, None]
-    # roll right by s (negative s rolls left); mask the wrapped region.
-    rolled = jax.vmap(jnp.roll)(wavs, shifts)
-    valid = jnp.where(s >= 0, pos >= s, pos < num_samples + s)
-    return jnp.where(valid, rolled, 0.0)
+    out_len = num_samples + _pad_to_lanes(num_samples)
+    left = max_shift
+    total = left + out_len + max_shift
+    total += _pad_to_lanes(total)
+    padded = jnp.zeros((batch, total), wavs.dtype)
+    padded = jax.lax.dynamic_update_slice(padded, wavs, (0, left))
+    # out[t] = wav[t - s]  ->  window start = left - s
+    out = dynamic_window_rows(padded, left - shifts, out_len)
+    return out[:, :num_samples]
 
 
 def mix_background(
@@ -78,9 +136,15 @@ def mix_background(
     idx = jax.random.randint(k_idx, (batch,), 0, num_clips)
     # tf.random_crop: offset uniform in [0, clip_len - num_samples].
     offsets = jax.random.randint(k_off, (batch,), 0, clip_len - num_samples + 1)
-    crops = jax.vmap(
-        lambda i, o: jax.lax.dynamic_slice(noise_bank[i], (o,), (num_samples,))
-    )(idx, offsets)
+    # per-row clip rows (tiny K: a plain row gather), then the fast
+    # dynamic-window read for the crop offsets
+    out_len = num_samples + _pad_to_lanes(num_samples)
+    # bank must be lane-aligned and cover max_offset + out_len
+    target = max(clip_len, (clip_len - num_samples) + out_len)
+    target += _pad_to_lanes(target)
+    bank = jnp.pad(noise_bank, ((0, 0), (0, target - clip_len)))
+    rows = bank[idx]  # [B, clip_len + pad]
+    crops = dynamic_window_rows(rows, offsets, out_len)[:, :num_samples]
 
     if is_training:
         gate = jax.random.uniform(k_gate, (batch,)) < background_frequency
@@ -92,6 +156,31 @@ def mix_background(
 
     mixed = foreground + volume[:, None] * crops
     return jnp.clip(mixed, -1.0, 1.0)
+
+
+def augment(
+    wavs: jnp.ndarray,
+    is_silent: jnp.ndarray,
+    key: jax.Array,
+    cfg: AugmentConfig,
+    noise_bank: Optional[jnp.ndarray],
+    is_training: bool,
+) -> jnp.ndarray:
+    """Backend-dispatching augmentation entry point.
+
+    backend "auto" uses the fused Pallas kernel on TPU (profiled 3.7x
+    faster than this module's XLA formulation; bit-identical results
+    given the same per-row draws) and the XLA path elsewhere.
+    """
+    backend = getattr(cfg, "backend", "auto")
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from tcresnet_tpu.ops.pallas.augment import fused_augment
+
+        return fused_augment(wavs, is_silent, key, cfg, noise_bank, is_training)
+    return augment_batch(wavs, is_silent, key, cfg, noise_bank, is_training)
 
 
 def augment_batch(

@@ -88,6 +88,7 @@ class Trainer:
         self.writer.write_text(0, "experiment_config", cfg.to_json())
 
         self.state = self._init_state()
+        self._train_eval_fn = None
         n_params = param_count(self.state.params)
         self.log.info(
             f"model={cfg.model.name} params={n_params:,} features={self.feature_shape} "
@@ -116,6 +117,54 @@ class Trainer:
         if step is not None:
             self.state = self.ckpt.restore(self.state, step)
         return int(self.state.step)
+
+    def warm_start(
+        self,
+        checkpoint_dir,
+        step: Optional[int] = None,
+        include_scopes=None,
+        exclude_scopes=None,
+        ignore_missing: bool = False,
+        reset_step: bool = True,
+    ) -> None:
+        """Initialize params from another run's checkpoint (transfer).
+
+        Reference capability: --checkpoint_path with include/exclude
+        scopes and ignore_missing_vars (common/model_loader.py:42-83),
+        plus the in-memory warm start (helper/trainer.py:145-154). The
+        optimizer state is reset; global step restarts at 0 unless
+        `reset_step=False` (the reference kept the ckpt's step and could
+        shift LR boundaries relative to it, trainer.py:120-133).
+        """
+        from tcresnet_tpu.train.checkpoint import (
+            CheckpointManager as CM,
+            restore_params_partial,
+        )
+
+        src = CM(checkpoint_dir)
+        restored = src.restore(jax.device_get(self.state), step)
+        params = restore_params_partial(
+            jax.device_get(self.state.params),
+            restored.params,
+            include_scopes,
+            exclude_scopes,
+            ignore_missing,
+        )
+        new_step = self.state.step * 0 if reset_step else restored.step
+        self.state = self.state.replace(
+            step=new_step,
+            params=params,
+            batch_stats=restored.batch_stats,
+            opt_state=self.tx.init(params),
+            ema_params=jax.tree_util.tree_map(jnp.copy, params)
+            if self.state.ema_params is not None
+            else None,
+        )
+        if self.mesh is not None:
+            self.state = jax.device_put(
+                self.state, meshlib.replicated_sharding(self.mesh)
+            )
+        self.log.info(f"Warm-started from {checkpoint_dir} (step {src.latest_step()})")
 
     # ------------------------------------------------------------------
     # the fused train step
@@ -155,7 +204,7 @@ class Trainer:
         raw_wavs, labels, silent = DeviceDataset.sample_batch(
             arrays, k_sample, cfg.train.batch_size, self.mesh
         )
-        wavs = aug.augment_batch(
+        wavs = aug.augment(
             raw_wavs, silent, k_aug, cfg.augment, noise_bank, is_training=True
         )
         batch = (wavs, labels, silent)
@@ -225,6 +274,11 @@ class Trainer:
         self.log.info(f"Training from step {start} to {max_step}")
 
         step = start
+        # Summaries are fetched one call LATE: the device values of chunk
+        # i are converted to floats while chunk i+1 executes, keeping the
+        # host sync off the critical path (the device tunnel's round trip
+        # would otherwise stall every summary-writing call).
+        pending = None  # (step, device summary, n, dispatch time)
         t_last = time.perf_counter()
         while step < max_step:
             n = min(self.steps_per_call, max_step - step)
@@ -237,34 +291,80 @@ class Trainer:
                 fn = self._train_fn
             self.state, summary = fn(self.state, *arrays, noise)
             step += n
+            now = time.perf_counter()
 
-            if should_write_summary(
-                step, cfg.summary_step_default, cfg.summary_step_verbose, cfg.summary_first_n
-            ) or step >= max_step:
-                summary = {k: float(v) for k, v in summary.items()}
-                now = time.perf_counter()
-                ms_per_step = (now - t_last) / n * 1000
-                summary["ms_per_step"] = ms_per_step
-                summary["ms_per_instance"] = ms_per_step / self.cfg.train.batch_size
-                summary["utterances_per_sec"] = (
-                    self.cfg.train.batch_size * n / (now - t_last)
-                )
-                self.writer.write(step, summary)
-                self.log.info(
-                    f"step {step}: loss {summary['total_loss']:.4f} "
-                    f"acc {summary['accuracy']:.4f} lr {summary['learning_rate']:.4g} "
-                    f"{ms_per_step:.2f} ms/step "
-                    f"({summary['utterances_per_sec']:,.0f} utt/s)"
-                )
-            t_last = time.perf_counter()
+            if pending is not None:
+                self._write_summary(*pending)
+            wants_summary = should_write_summary(
+                step, cfg.summary_step_default, cfg.summary_step_verbose,
+                cfg.summary_first_n,
+            ) or step >= max_step
+            pending = (step, summary, n, now - t_last) if wants_summary else None
+            t_last = now
+
+            if cfg.step_evaluation > 0 and step % cfg.step_evaluation == 0:
+                self._train_stream_eval(step)
 
             if step % cfg.step_save_checkpoint == 0 or step >= max_step:
                 if step >= cfg.step_minimum_save:
                     self.ckpt.save(step, jax.device_get(self.state))
 
+        if pending is not None:
+            self._write_summary(*pending)
         self.ckpt.wait()
         self.writer.flush()
         return self.state
+
+    def _write_summary(self, step: int, summary, n: int, elapsed: float) -> None:
+        summary = {k: float(v) for k, v in summary.items()}
+        ms_per_step = elapsed / n * 1000
+        summary["ms_per_step"] = ms_per_step
+        summary["ms_per_instance"] = ms_per_step / self.cfg.train.batch_size
+        summary["utterances_per_sec"] = self.cfg.train.batch_size * n / elapsed
+        self.writer.write(step, summary)
+        self.log.info(
+            f"step {step}: loss {summary['total_loss']:.4f} "
+            f"acc {summary['accuracy']:.4f} lr {summary['learning_rate']:.4g} "
+            f"{ms_per_step:.2f} ms/step "
+            f"({summary['utterances_per_sec']:,.0f} utt/s)"
+        )
+
+    def _train_stream_eval(self, step: int) -> None:
+        """In-training sanity eval on the TRAINING stream.
+
+        Reference behavior (helper/trainer.py:416-417,436-460), explicitly
+        labeled train-stream-eval (SURVEY.md 7.5): eval-mode forward
+        (no dropout, running BN stats, no augmentation) on a sampled
+        training batch.
+        """
+        if self._train_eval_fn is None:
+            def eval_batch(state, key):
+                wavs, labels, silent = DeviceDataset.sample_batch(
+                    self.data.arrays, key, self.cfg.data.eval_batch_size, self.mesh
+                )
+                wavs = jnp.where(silent[:, None], 0.0, wavs)
+                feats = dsp.preprocess(wavs, self.cfg.audio)
+                logits = self.model.apply(
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    feats,
+                    training=False,
+                )
+                acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+                onehot = jax.nn.one_hot(labels, self.cfg.model.num_classes)
+                loss = losslib.smoothed_softmax_cross_entropy(
+                    logits, onehot, self.cfg.model.label_smoothing
+                )
+                return acc, loss
+
+            self._train_eval_fn = jax.jit(eval_batch)
+        key = jax.random.fold_in(jax.random.key(self.cfg.train.seed + 1), step)
+        acc, loss = self._train_eval_fn(self.state, key)
+        metrics = {"train_stream/accuracy": float(acc), "train_stream/loss": float(loss)}
+        self.writer.write(step, metrics)
+        self.log.info(
+            f"step {step}: train-stream-eval acc {metrics['train_stream/accuracy']:.4f} "
+            f"loss {metrics['train_stream/loss']:.4f}"
+        )
 
     def _train_fn_with_length(self, n_steps, state, wavs, labels, silent, noise_bank):
         arrays = (wavs, labels, silent)

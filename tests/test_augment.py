@@ -8,6 +8,44 @@ from tcresnet_tpu.config import AugmentConfig
 from tcresnet_tpu.ops import augment
 
 
+def test_dynamic_window_rows_exact(rng):
+    """The sublane-gather + carry-matmul window read is exact."""
+    batch, total, out_len = 16, 512, 256
+    x = jnp.asarray(rng.uniform(-1, 1, (batch, total)).astype(np.float32))
+    starts = jnp.asarray(rng.integers(0, total - out_len + 1, batch), jnp.int32)
+    got = np.asarray(augment.dynamic_window_rows(x, starts, out_len))
+    xn = np.asarray(x)
+    for b in range(batch):
+        np.testing.assert_allclose(
+            got[b],
+            xn[b, int(starts[b]) : int(starts[b]) + out_len],
+            rtol=0,
+            atol=1e-6,
+        )
+
+
+def test_time_shift_matches_reference_semantics(rng):
+    """Cross-check vs an independent pad+slice oracle (the reference's
+    _shift_audio semantics) for known shifts."""
+    wavs = jnp.asarray(rng.uniform(-1, 1, (8, 1000)).astype(np.float32))
+    # monkeypatch randint to fixed shifts
+    shifts = np.asarray([0, 1, -1, 99, -99, 50, -50, 7])
+    orig = jax.random.randint
+    try:
+        jax.random.randint = lambda *a, **k: jnp.asarray(shifts, jnp.int32)
+        out = np.asarray(augment.time_shift(wavs, jax.random.key(0), 0.1))
+    finally:
+        jax.random.randint = orig
+    w = np.asarray(wavs)
+    for b, s in enumerate(shifts):
+        want = np.zeros(1000, np.float32)
+        if s >= 0:
+            want[s:] = w[b, : 1000 - s]
+        else:
+            want[: 1000 + s] = w[b, -s:]
+        np.testing.assert_allclose(out[b], want, atol=1e-6, err_msg=f"shift {s}")
+
+
 def test_time_shift_pads_with_zeros(rng):
     wavs = jnp.asarray(rng.uniform(0.5, 1.0, size=(64, 1000)).astype(np.float32))
     out = np.asarray(augment.time_shift(wavs, jax.random.key(0), 0.1))

@@ -1,0 +1,79 @@
+"""Fused augmentation kernel: exact parity with the XLA path given the
+same per-row random draws, and distributional parity end-to-end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tcresnet_tpu.config import AugmentConfig
+from tcresnet_tpu.ops.pallas.augment import _fused_augment_impl, fused_augment
+
+
+def test_kernel_semantics_exact(rng):
+    """Deterministic scalars -> output must equal the hand-computed result."""
+    n, max_shift = 512, 50
+    wavs = jnp.asarray(rng.uniform(-0.5, 0.5, (4, n)).astype(np.float32))
+    noise = jnp.asarray(rng.uniform(-0.5, 0.5, (3, 2 * n)).astype(np.float32))
+    shifts = jnp.asarray([5, -7, 0, 49], jnp.int32)
+    clips = jnp.asarray([0, 2, 1, 0], jnp.int32)
+    offs = jnp.asarray([10, 0, 2 * n - n, 137], jnp.int32)
+    vols = jnp.asarray([0.1, 0.0, 0.05, 1.0], jnp.float32)
+    keeps = jnp.asarray([1.0, 1.0, 0.0, 1.0], jnp.float32)
+
+    out = np.asarray(
+        _fused_augment_impl(
+            wavs, (shifts, clips, offs, vols, keeps), noise, n, True
+        )
+    )
+
+    w = np.asarray(wavs)
+    nz = np.asarray(noise)
+    for b in range(4):
+        padded = np.zeros(n + 2 * max_shift, np.float32)
+        padded[max_shift : max_shift + n] = w[b] * float(keeps[b])
+        start = max_shift - int(shifts[b])
+        shifted = padded[start : start + n]
+        crop = nz[int(clips[b]), int(offs[b]) : int(offs[b]) + n]
+        want = np.clip(shifted + float(vols[b]) * crop, -1, 1)
+        np.testing.assert_allclose(out[b], want, atol=1e-6, err_msg=f"row {b}")
+
+
+def test_distribution_matches_xla_path(rng):
+    """Same config, different RNG streams: distributions must agree."""
+    from tcresnet_tpu.ops import augment as xla_augment
+
+    cfg = AugmentConfig(background_frequency=0.7, background_max_volume=0.2)
+    batch, n = 2048, 256
+    wavs = jnp.zeros((batch, n), jnp.float32)
+    silent = jnp.zeros((batch,), bool)
+    noise = jnp.ones((2, 3 * n), jnp.float32)
+
+    a = np.asarray(
+        fused_augment(wavs, silent, jax.random.key(0), cfg, noise, True, interpret=True)
+    )
+    b = np.asarray(
+        xla_augment.augment_batch(wavs, silent, jax.random.key(1), cfg, noise, True)
+    )
+    # fraction of rows mixed and mean volume must match closely
+    assert abs((a[:, 0] > 0).mean() - (b[:, 0] > 0).mean()) < 0.05
+    assert abs(a[:, 0].mean() - b[:, 0].mean()) < 0.01
+
+
+def test_eval_mode_no_noise(rng):
+    cfg = AugmentConfig(method="anchored_slice_or_pad")
+    wavs = jnp.asarray(rng.uniform(-0.5, 0.5, (8, 256)).astype(np.float32))
+    silent = jnp.asarray([True] + [False] * 7)
+    noise = jnp.ones((2, 600), jnp.float32)
+    out = np.asarray(
+        fused_augment(wavs, silent, jax.random.key(0), cfg, noise, False, interpret=True)
+    )
+    assert (out[0] == 0).all()
+    np.testing.assert_allclose(out[1:], np.asarray(wavs)[1:], atol=1e-6)
+
+
+def test_fallback_paths(rng):
+    cfg = AugmentConfig(method="no_augmentation_audio")
+    wavs = jnp.ones((4, 128), jnp.float32)
+    silent = jnp.asarray([True, False, False, False])
+    out = np.asarray(fused_augment(wavs, silent, jax.random.key(0), cfg, None, True))
+    assert (out[0] == 0).all() and (out[1:] == 1).all()

@@ -48,6 +48,15 @@ def parse_args(argv=None):
                    help="split evaluated after training ('' to skip)")
     p.add_argument("--num-silent", type=int, default=None)
     p.add_argument("--steps-per-call", type=int, default=None)
+    # warm start / transfer (reference: --checkpoint_path + scope flags,
+    # common/model_loader.py:42-83)
+    p.add_argument("--checkpoint-path", default=None,
+                   help="warm-start params from another run's ckpt dir")
+    p.add_argument("--checkpoint-include-scopes", nargs="*", default=None)
+    p.add_argument("--checkpoint-exclude-scopes", nargs="*", default=None)
+    p.add_argument("--ignore-missing-vars", action="store_true")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of the run here")
     return p.parse_args(argv)
 
 
@@ -128,7 +137,18 @@ def main(argv=None):
         cfg, DeviceDataset(train_host, mesh), mesh=mesh,
         workdir=cfg.train.train_dir, steps_per_call=args.steps_per_call,
     )
-    state = trainer.train(args.max_step)
+    if args.checkpoint_path:
+        trainer.warm_start(
+            args.checkpoint_path,
+            include_scopes=args.checkpoint_include_scopes,
+            exclude_scopes=args.checkpoint_exclude_scopes,
+            ignore_missing=args.ignore_missing_vars,
+        )
+
+    from tcresnet_tpu.utils.profiling import trace
+
+    with trace(args.profile_dir):
+        state = trainer.train(args.max_step)
     log.info(f"training done at step {int(state.step)}")
 
     if args.eval_split:
