@@ -110,6 +110,10 @@ class OptimConfig:
     rmsprop_epsilon: float = 1e-10
     use_ema: bool = False
     ema_decay: float = 0.999
+    # Regexes over '/'-joined param paths; when non-empty, ONLY matching
+    # params receive updates (reference: --trainable_scopes via
+    # common/tf_utils.get_variables_to_train, tf_utils.py:19-37).
+    trainable_scopes: Tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)

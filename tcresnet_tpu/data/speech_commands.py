@@ -168,7 +168,7 @@ def load_noise_bank(split_dir: Path, min_len: int) -> Optional[np.ndarray]:
 
 
 def load_speech_commands(
-    dataset_root: str,
+    dataset_root,
     split: str,
     desired_samples: int = 16000,
     num_silent: int = -1,
@@ -178,12 +178,28 @@ def load_speech_commands(
 ) -> HostDataset:
     """Load one split of a `<root>/<split>/<label>/*.wav` tree.
 
-    Decode results are cached as `<cache_dir>/<split>-<hash>.npy` so
-    subsequent runs start instantly.
+    `dataset_root` may be a single root or a list of roots (sub-dataset
+    support, reference --has_sub_dataset: data_wrapper_base.py:108-112 —
+    label sets must agree across roots, :140). Decode results are cached
+    as `<cache_dir>/<split>-<hash>.npy` so subsequent runs start
+    instantly.
     """
-    split_dir = Path(dataset_root) / split
-    label_names = discover_labels(split_dir, add_null_class)
-    filenames, labels = list_files(split_dir, label_names)
+    roots = (
+        [dataset_root]
+        if isinstance(dataset_root, (str, Path))
+        else list(dataset_root)
+    )
+    split_dirs = [Path(r) / split for r in roots]
+    label_sets = [discover_labels(d, add_null_class) for d in split_dirs]
+    if len(set(label_sets)) != 1:
+        raise ValueError(f"Different labels across sub-datasets: {label_sets}")
+    label_names = label_sets[0]
+    filenames, labels = [], []
+    for d in split_dirs:
+        f, l = list_files(d, label_names)
+        filenames.extend(f)
+        labels.extend(l)
+    split_dir = split_dirs[0]  # noise bank taken from the first root
     if oversampling_ratio is not None:
         filenames, labels = oversample(filenames, labels, oversampling_ratio)
 

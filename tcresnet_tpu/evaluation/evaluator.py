@@ -54,10 +54,10 @@ class Evaluator:
         self.use_ema = cfg.optim.use_ema if use_ema is None else use_ema
         self._eval_fn = jax.jit(self._eval_step)
 
-    def _eval_step(self, params, batch_stats, idx):
-        wavs, labels, silent = DeviceDataset.gather_batch(
-            self.data.arrays, idx, self.mesh
-        )
+    def _eval_step(self, params, batch_stats, arrays, idx):
+        # arrays are jit ARGUMENTS (closing over them would bake GB-scale
+        # HBM datasets into the compiled HLO as constants)
+        wavs, labels, silent = DeviceDataset.gather_batch(arrays, idx, self.mesh)
         # Eval-mode augmentation: silence rows zeroed, no shift, no noise
         # (eval scripts pass background_frequency 0.0).
         wavs = jnp.where(silent[:, None], 0.0, wavs)
@@ -86,9 +86,12 @@ class Evaluator:
         batch = self.cfg.data.eval_batch_size
         all_scores, all_labels, all_losses = [], [], []
         infer_times = []
+        arrays = self.data.arrays
         for idx, mask in self.data.eval_index_batches(batch):
             t0 = time.perf_counter()
-            scores, labels, loss = self._eval_fn(params, batch_stats, jnp.asarray(idx))
+            scores, labels, loss = self._eval_fn(
+                params, batch_stats, arrays, jnp.asarray(idx)
+            )
             scores = np.asarray(jax.block_until_ready(scores))
             infer_times.append(time.perf_counter() - t0)
             all_scores.append(scores[mask])

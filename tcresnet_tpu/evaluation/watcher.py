@@ -88,13 +88,20 @@ class WatchingEvaluator:
         from tcresnet_tpu.ops import dsp
         from tcresnet_tpu.train.optim import build_optimizer
 
-        tx, _ = build_optimizer(self.cfg.optim)
         shape = dsp.feature_shape(self.cfg.audio)
+        sample = jnp.zeros((2,) + shape, jnp.float32)
+        variables = self.evaluator.model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            sample,
+            training=True,
+        )
+        # tx must see params so masked (trainable_scopes) opt states match
+        tx, _ = build_optimizer(self.cfg.optim, params=variables["params"])
         return create_train_state(
             self.evaluator.model,
             tx,
             jax.random.key(0),
-            jnp.zeros((2,) + shape, jnp.float32),
+            sample,
             use_ema=self.cfg.optim.use_ema,
         )
 

@@ -44,6 +44,19 @@ class MetricWriter:
         if self._tb is not None:
             self._tb.add_text(tag, text, int(step))
 
+    def write_audio(self, step: int, tag: str, wavs, sample_rate: int = 16000) -> None:
+        """Audio summaries of input wavs (reference WavSummaryOp,
+        metrics/ops/tensor_ops.py:40-54); TensorBoard-only, max 4 clips."""
+        if self._tb is None:
+            return
+        import numpy as np
+
+        wavs = np.asarray(wavs)
+        for i, wav in enumerate(wavs[:4]):
+            self._tb.add_audio(
+                f"{tag}/{i}", wav.reshape(-1, 1), int(step), sample_rate=sample_rate
+            )
+
     def flush(self) -> None:
         self._jsonl.flush()
         if self._tb is not None:

@@ -57,13 +57,32 @@ def resolve_boundaries(
     return tuple(boundaries)
 
 
+def trainable_mask(params, scopes: Sequence[str]):
+    """Pytree of bools: True where the param path matches any scope regex
+    (get_variables_to_train parity, common/tf_utils.py:19-37)."""
+    import re
+
+    import jax
+
+    def match(path):
+        p = "/".join(str(getattr(k, "key", k)) for k in path)
+        return any(re.search(s, p) for s in scopes)
+
+    return jax.tree_util.tree_map_with_path(lambda path, _: match(path), params)
+
+
 def build_optimizer(
     cfg: OptimConfig,
     steps_per_epoch: Optional[int] = None,
     restore_step: int = 0,
     relative: bool = False,
+    params=None,
 ):
-    """Returns (optax.GradientTransformation, schedule_fn)."""
+    """Returns (optax.GradientTransformation, schedule_fn).
+
+    When cfg.trainable_scopes is non-empty, updates for non-matching
+    params are zeroed (requires `params` for the mask structure).
+    """
     boundaries = resolve_boundaries(cfg, steps_per_epoch, restore_step, relative)
     schedule = piecewise_constant(boundaries, cfg.lr_list)
 
@@ -79,6 +98,19 @@ def build_optimizer(
         )
     else:
         raise ValueError(f"Unknown optimizer {cfg.optimizer!r}")
+
+    if cfg.trainable_scopes:
+        if params is None:
+            raise ValueError("trainable_scopes requires params for the mask")
+        mask = trainable_mask(params, cfg.trainable_scopes)
+        import jax
+
+        labels = jax.tree_util.tree_map(
+            lambda m: "train" if m else "freeze", mask
+        )
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels
+        )
     return tx, schedule
 
 

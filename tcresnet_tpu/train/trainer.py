@@ -67,10 +67,7 @@ class Trainer:
 
         self.feature_shape = dsp.feature_shape(cfg.audio)
         self.model = build_model(cfg.model, self.feature_shape, cfg.train.compute_dtype)
-        self.tx, self.lr_schedule = optimlib.build_optimizer(
-            cfg.optim,
-            steps_per_epoch=max(train_data.num_samples // cfg.train.batch_size, 1),
-        )
+        self._steps_per_epoch = max(train_data.num_samples // cfg.train.batch_size, 1)
         # Fuse this many steps per host dispatch (amortizes host latency);
         # summaries are written at call granularity.
         self.steps_per_call = steps_per_call or max(
@@ -103,8 +100,23 @@ class Trainer:
     def _init_state(self) -> TrainState:
         rng = jax.random.key(self.cfg.train.seed)
         sample = jnp.zeros((2,) + self.feature_shape, jnp.float32)
-        state = create_train_state(
-            self.model, self.tx, rng, sample, use_ema=self.cfg.optim.use_ema
+        params_rng, dropout_rng = jax.random.split(rng)
+        variables = self.model.init(
+            {"params": params_rng, "dropout": dropout_rng}, sample, training=True
+        )
+        params = variables["params"]
+        # optimizer needs params when trainable_scopes masks updates
+        self.tx, self.lr_schedule = optimlib.build_optimizer(
+            self.cfg.optim, steps_per_epoch=self._steps_per_epoch, params=params
+        )
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=self.tx.init(params),
+            ema_params=jax.tree_util.tree_map(jnp.copy, params)
+            if self.cfg.optim.use_ema
+            else None,
         )
         if self.mesh is not None:
             repl = meshlib.replicated_sharding(self.mesh)
@@ -305,6 +317,12 @@ class Trainer:
             if cfg.step_evaluation > 0 and step % cfg.step_evaluation == 0:
                 self._train_stream_eval(step)
 
+            if (
+                cfg.summary_step_verbose > 0
+                and step % cfg.summary_step_verbose == 0
+            ):
+                self._write_audio_summary(step)
+
             if step % cfg.step_save_checkpoint == 0 or step >= max_step:
                 if step >= cfg.step_minimum_save:
                     self.ckpt.save(step, jax.device_get(self.state))
@@ -329,6 +347,20 @@ class Trainer:
             f"({summary['utterances_per_sec']:,.0f} utt/s)"
         )
 
+    def _write_audio_summary(self, step: int) -> None:
+        """Audio summaries of (augmented) input wavs at the verbose tier
+        (reference WavSummaryOp, metrics/ops/tensor_ops.py:40-54)."""
+        import numpy as np
+
+        key = jax.random.fold_in(jax.random.key(self.cfg.train.seed + 2), step)
+        k1, k2 = jax.random.split(key)
+        wavs, _, silent = DeviceDataset.sample_batch(self.data.arrays, k1, 4)
+        noise = self.data.noise_bank
+        wavs = aug.augment(wavs, silent, k2, self.cfg.augment, noise, True)
+        self.writer.write_audio(
+            step, "input_audio", np.asarray(wavs), self.cfg.audio.sample_rate
+        )
+
     def _train_stream_eval(self, step: int) -> None:
         """In-training sanity eval on the TRAINING stream.
 
@@ -338,9 +370,12 @@ class Trainer:
         training batch.
         """
         if self._train_eval_fn is None:
-            def eval_batch(state, key):
+            # NOTE: dataset arrays must be jit ARGUMENTS — closing over
+            # them would bake the (possibly GB-scale) HBM arrays into the
+            # HLO as constants and stall compilation.
+            def eval_batch(state, arrays, key):
                 wavs, labels, silent = DeviceDataset.sample_batch(
-                    self.data.arrays, key, self.cfg.data.eval_batch_size, self.mesh
+                    arrays, key, self.cfg.data.eval_batch_size, self.mesh
                 )
                 wavs = jnp.where(silent[:, None], 0.0, wavs)
                 feats = dsp.preprocess(wavs, self.cfg.audio)
@@ -358,7 +393,7 @@ class Trainer:
 
             self._train_eval_fn = jax.jit(eval_batch)
         key = jax.random.fold_in(jax.random.key(self.cfg.train.seed + 1), step)
-        acc, loss = self._train_eval_fn(self.state, key)
+        acc, loss = self._train_eval_fn(self.state, self.data.arrays, key)
         metrics = {"train_stream/accuracy": float(acc), "train_stream/loss": float(loss)}
         self.writer.write(step, metrics)
         self.log.info(

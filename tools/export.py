@@ -83,10 +83,14 @@ def main(argv=None):
     ckpt = CheckpointManager(ckpt_dir)
     shape = dsp.feature_shape(cfg.audio)
     model = build_model(cfg.model, shape, cfg.train.compute_dtype)
-    tx, _ = build_optimizer(cfg.optim)
+    sample = jnp.zeros((2,) + shape, jnp.float32)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        sample, training=True,
+    )
+    tx, _ = build_optimizer(cfg.optim, params=variables["params"])
     template = create_train_state(
-        model, tx, jax.random.key(0),
-        jnp.zeros((2,) + shape, jnp.float32), use_ema=cfg.optim.use_ema,
+        model, tx, jax.random.key(0), sample, use_ema=cfg.optim.use_ema,
     )
     state = ckpt.restore(template, args.step)
 
