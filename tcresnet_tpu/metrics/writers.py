@@ -52,10 +52,14 @@ class MetricWriter:
         import numpy as np
 
         wavs = np.asarray(wavs)
-        for i, wav in enumerate(wavs[:4]):
-            self._tb.add_audio(
-                f"{tag}/{i}", wav.reshape(-1, 1), int(step), sample_rate=sample_rate
-            )
+        try:
+            for i, wav in enumerate(wavs[:4]):
+                self._tb.add_audio(
+                    f"{tag}/{i}", wav.reshape(-1, 1), int(step),
+                    sample_rate=sample_rate,
+                )
+        except Exception:  # tensorboardX audio needs soundfile; optional
+            self._tb = self._tb  # keep scalars working; audio silently off
 
     def flush(self) -> None:
         self._jsonl.flush()
