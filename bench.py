@@ -37,9 +37,12 @@ def main(argv=None):
     from tcresnet_tpu.train.trainer import Trainer
 
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=4096)
+    # defaults tuned on v5e: batch 1024 + 50-step scan beats larger
+    # batches (the augment kernel scales linearly with rows; the model is
+    # tiny) — 303k utt/s vs 295k at 2048 and 245k at 4096
+    p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
-    p.add_argument("--steps-per-call", type=int, default=20)
+    p.add_argument("--steps-per-call", type=int, default=50)
     args = p.parse_args(argv)
 
     cfg = get_preset("TCResNet8-1.0")
