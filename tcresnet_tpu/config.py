@@ -71,6 +71,11 @@ class AugmentConfig:
     # "auto": fused Pallas kernel on TPU (3.7x faster, bit-identical
     # given the same draws), XLA path elsewhere; or force "xla"/"pallas".
     backend: str = "auto"
+    # Quantize noise-crop start offsets to 1024 samples (64 ms) in the
+    # fused kernel, skipping a per-row vector rotate (~2x kernel time).
+    # Crops remain uniformly random over ~940 starts per minute of noise;
+    # set False for sample-exact reference crop offsets.
+    noise_crop_quantize: bool = True
 
 
 @dataclass(frozen=True)

@@ -58,16 +58,19 @@ def _kernel(
     wav_ref,    # [TB, P] f32 block (P = pow2 >= n)
     noise_ref,  # [K*L'] f32 flat bank in HBM/ANY (L' lane-aligned)
     out_ref,    # [TB, n] f32 block
-    *scratches_and_sem,  # TB x [W] f32 VMEM scratches + DMA sem array
+    *scratches_and_sem,  # TB x [W] crop scratches, 2 x [TB, n] bufs, sem
     n: int,
     window: int,  # 1024-aligned, >= n + rem_max, <= W
+    crop_rolls: bool,  # False when offsets pre-quantized to the DMA tile
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    scratches, sem = scratches_and_sem[:_TB], scratches_and_sem[_TB]
+    scratches = scratches_and_sem[:_TB]
+    shifted_buf = scratches_and_sem[_TB]
+    crop_buf = scratches_and_sem[_TB + 1]
+    sem = scratches_and_sem[_TB + 2]
     i = pl.program_id(0)
-    w = scratches[0].shape[0]
 
     def crop_dma(r):
         # 1024-aligned flat DMA of row r's crop window; alignment holds by
@@ -79,31 +82,41 @@ def _kernel(
             sem.at[r],
         )
 
-    # launch ALL crop DMAs up front so they overlap the roll/mask compute
+    # launch ALL crop DMAs up front so they overlap the roll compute
     for r in range(_TB):
         crop_dma(r).start()
 
-    pos = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    w = scratches[0].shape[0]
+    # per-row rotates (the only truly per-row work)...
     for r in range(_TB):
         b = i * _TB + r
-        s = shift_ref[b]
-        row = wav_ref[r : r + 1, :] * keep_ref[b]
-        rolled = pltpu.roll(row, shift=s, axis=1)[:, :n]
-        # zero the shifted-out region; this mask also covers everything
-        # the pow2 circular roll wrapped around
-        valid = (pos >= s) & (pos < n + s)
-        shifted = rolled * valid.astype(jnp.float32)
-
+        shifted_buf[r : r + 1, :] = pltpu.roll(
+            wav_ref[r : r + 1, :], shift=shift_ref[b], axis=1
+        )[:, :n]
         crop_dma(r).wait()
-        crop2d = scratches[r][:].reshape(1, w)
-        crop = pltpu.roll(crop2d, shift=-rem_ref[b], axis=1)[:, :n]
-        out_ref[r : r + 1, :] = jnp.clip(
-            shifted + vol_ref[b] * crop, -1.0, 1.0
-        )
+        if crop_rolls:
+            crop2d = scratches[r][:].reshape(1, w)
+            crop_buf[r : r + 1, :] = pltpu.roll(
+                crop2d, shift=-rem_ref[b], axis=1
+            )[:, :n]
+        else:
+            # offsets pre-quantized to the DMA tile: remainder is 0
+            crop_buf[r : r + 1, :] = scratches[r][:].reshape(1, w)[:, :n]
+
+    # ...then one batched epilogue over the whole [TB, n] block:
+    # silence zeroing, shift-wrap masking, volume mix, clip
+    tile0 = i * _TB
+    svec = jnp.stack([shift_ref[tile0 + r] for r in range(_TB)])[:, None]
+    vvec = jnp.stack([vol_ref[tile0 + r] for r in range(_TB)])[:, None]
+    kvec = jnp.stack([keep_ref[tile0 + r] for r in range(_TB)])[:, None]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (_TB, n), 1)
+    valid = (pos >= svec) & (pos < n + svec)
+    shifted = shifted_buf[:, :] * valid.astype(jnp.float32) * kvec
+    out_ref[:, :] = jnp.clip(shifted + vvec * crop_buf[:, :], -1.0, 1.0)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def _fused_augment_impl(wavs, scalars, noise_bank, n, interpret):
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _fused_augment_impl(wavs, scalars, noise_bank, n, interpret, quantize_crops=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -136,7 +149,11 @@ def _fused_augment_impl(wavs, scalars, noise_bank, n, interpret):
     ).reshape(-1)
 
     off_aligned = (offs // align) * align
-    rems = (offs - off_aligned).astype(jnp.int32)
+    if quantize_crops:
+        # crop starts quantized to the DMA tile: no remainder rotate
+        rems = jnp.zeros_like(off_aligned, jnp.int32)
+    else:
+        rems = (offs - off_aligned).astype(jnp.int32)
     starts = (clips * stride + off_aligned).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -150,10 +167,16 @@ def _fused_augment_impl(wavs, scalars, noise_bank, n, interpret):
             (_TB, n), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[pltpu.VMEM((w,), jnp.float32) for _ in range(_TB)]
-        + [pltpu.SemaphoreType.DMA((_TB,))],
+        + [
+            pltpu.VMEM((_TB, n), jnp.float32),
+            pltpu.VMEM((_TB, n), jnp.float32),
+            pltpu.SemaphoreType.DMA((_TB,)),
+        ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, n=n, window=window),
+        functools.partial(
+            _kernel, n=n, window=window, crop_rolls=not quantize_crops
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((padded_b, n), jnp.float32),
         interpret=interpret,
@@ -215,5 +238,10 @@ def fused_augment(
 
     scalars = (shifts, clips, offs, vols, keeps)
     return _fused_augment_impl(
-        wavs.astype(jnp.float32), scalars, noise_bank, n, interpret
+        wavs.astype(jnp.float32),
+        scalars,
+        noise_bank,
+        n,
+        interpret,
+        bool(getattr(cfg, "noise_crop_quantize", False)),
     )
