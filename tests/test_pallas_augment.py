@@ -59,6 +59,32 @@ def test_distribution_matches_xla_path(rng):
     assert abs(a[:, 0].mean() - b[:, 0].mean()) < 0.01
 
 
+def test_quantized_crops_are_tile_aligned_noise_windows(rng):
+    """Default mode quantizes crop starts to the 1024 DMA tile: every
+    output row must equal wav + vol * noise[clip, q*1024 : q*1024+n] for
+    some tile q."""
+    from tcresnet_tpu.ops.pallas.augment import _fused_augment_impl
+
+    n = 2048
+    wavs = jnp.zeros((8, n), jnp.float32)
+    noise = jnp.asarray(rng.normal(size=(2, 4 * n)).astype(np.float32) * 0.1)
+    shifts = jnp.zeros((8,), jnp.int32)
+    clips = jnp.asarray(rng.integers(0, 2, 8), jnp.int32)
+    offs = jnp.asarray(rng.integers(0, 4 * n - n + 1, 8), jnp.int32)
+    vols = jnp.ones((8,), jnp.float32)
+    keeps = jnp.ones((8,), jnp.float32)
+    out = np.asarray(
+        _fused_augment_impl(
+            wavs, (shifts, clips, offs, vols, keeps), noise, n, True, True
+        )
+    )
+    nz = np.asarray(noise)
+    for b in range(8):
+        q = (int(offs[b]) // 1024) * 1024
+        want = np.clip(nz[int(clips[b]), q : q + n], -1, 1)
+        np.testing.assert_allclose(out[b], want, atol=1e-6, err_msg=f"row {b}")
+
+
 def test_eval_mode_no_noise(rng):
     cfg = AugmentConfig(method="anchored_slice_or_pad")
     wavs = jnp.asarray(rng.uniform(-0.5, 0.5, (8, 256)).astype(np.float32))
