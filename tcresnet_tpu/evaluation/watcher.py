@@ -65,6 +65,7 @@ class WatchingEvaluator:
     ):
         self.cfg = cfg
         self.data = data
+        self.mesh = mesh
         self.workdir = Path(workdir)
         self.split = data.split or "valid"
         self.log = get_logger(f"watcher/{self.split}")
@@ -109,6 +110,12 @@ class WatchingEvaluator:
         """Load a checkpoint and run a full-split evaluation
         (helper/evaluator.py:102-133 parity)."""
         state = self.ckpt.restore(self._template_state, step)
+        if self.mesh is not None:
+            import jax
+
+            from tcresnet_tpu.parallel import replicated_sharding
+
+            state = jax.device_put(state, replicated_sharding(self.mesh))
         scores = self.evaluator.evaluate(state)
         tracked = {
             k: scores[k] for k in self.best_keeper.modes if k in scores

@@ -1,0 +1,56 @@
+"""In-process CLI smoke tests (tools/train.py, tools/evaluate.py)."""
+
+import json
+from pathlib import Path
+
+from tools.evaluate import main as evaluate_main
+from tools.train import build_config, expand_train_dir, main as train_main, parse_args
+
+
+def test_expand_train_dir_placeholders():
+    args = parse_args(["--preset", "TCResNet8-1.5", "--synthetic"])
+    cfg = build_config(args)
+    out = expand_train_dir("runs/%DATE%_%USER%_bs%BATCH_SIZE%_wm%WIDTH_MULTIPLIER%", cfg)
+    assert "%" not in out
+    assert "bs100" in out and "wm1.5" in out
+
+
+def test_config_overrides():
+    args = parse_args([
+        "--preset", "TCResNet8-1.0", "--synthetic", "--max-step", "7",
+        "--batch-size", "3", "--compute-dtype", "bfloat16", "--num-silent", "5",
+    ])
+    cfg = build_config(args)
+    assert cfg.train.max_step == 7
+    assert cfg.train.batch_size == 3
+    assert cfg.train.compute_dtype == "bfloat16"
+    assert cfg.augment.num_silent == 5
+    assert cfg.data.use_synthetic
+
+
+def test_train_then_evaluate_cli(tmp_path):
+    """Full CLI round trip: train -> checkpoint -> eval once."""
+    run = str(tmp_path / "run")
+    train_main([
+        "--preset", "TCResNet8-1.0", "--synthetic", "--synthetic-samples", "96",
+        "--max-step", "6", "--batch-size", "16", "--train-dir", run,
+        "--eval-split", "",
+    ])
+    assert (Path(run) / "ckpt").exists()
+    metrics = [
+        json.loads(l)
+        for l in (Path(run) / "train_metrics.jsonl").read_text().splitlines()
+    ]
+    assert metrics and metrics[-1]["step"] == 6
+
+    evaluate_main([
+        "--preset", "TCResNet8-1.0", "--synthetic", "--synthetic-samples", "96",
+        "--train-dir", run, "--split", "valid", "--valid-type", "once",
+    ])
+    valid = [
+        json.loads(l)
+        for l in (Path(run) / "valid_metrics.jsonl").read_text().splitlines()
+    ]
+    assert valid and "accuracy" in valid[-1]
+    # best promotion happened
+    assert (Path(run) / "best" / "valid" / "accuracy" / "scores.tsv").exists()

@@ -24,11 +24,25 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def expand_train_dir(train_dir: str) -> str:
-    """%DATE% / %USER% placeholder expansion (common/utils.py:22-59)."""
-    return train_dir.replace(
+def expand_train_dir(train_dir: str, cfg=None) -> str:
+    """%DATE% / %USER% / %<CONFIG_FIELD>% placeholder expansion
+    (common/utils.py:22-59 — the reference also expands any flag name,
+    e.g. %BATCH_SIZE% or %WIDTH_MULTIPLIER%, into its value)."""
+    out = train_dir.replace(
         "%DATE%", datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
     ).replace("%USER%", getpass.getuser())
+    if cfg is not None and "%" in out:
+        for section in dataclasses.fields(cfg):
+            sub = getattr(cfg, section.name)
+            for f in dataclasses.fields(sub):
+                ph = f"%{f.name.upper()}%"
+                if ph in out:
+                    v = getattr(sub, f.name)
+                    if isinstance(v, (list, tuple)):
+                        v = ",".join(map(str, v))
+                    v = str(v)
+                    out = out.replace(ph, "UNKNOWN" if "/" in v else v)
+    return out
 
 
 def parse_args(argv=None):
@@ -73,7 +87,7 @@ def build_config(args):
         if v is not None:
             train_kw[field] = v
     if args.train_dir:
-        train_kw["train_dir"] = expand_train_dir(args.train_dir)
+        train_kw["train_dir"] = args.train_dir  # expanded below, with cfg
     if train_kw:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, **train_kw))
     data_kw = {}
@@ -89,6 +103,12 @@ def build_config(args):
     if args.num_silent is not None:
         cfg = cfg.replace(
             augment=dataclasses.replace(cfg.augment, num_silent=args.num_silent)
+        )
+    if "%" in cfg.train.train_dir:
+        cfg = cfg.replace(
+            train=dataclasses.replace(
+                cfg.train, train_dir=expand_train_dir(cfg.train.train_dir, cfg)
+            )
         )
     return cfg
 
