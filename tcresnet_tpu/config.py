@@ -72,10 +72,10 @@ class AugmentConfig:
     # given the same draws), XLA path elsewhere; or force "xla"/"pallas".
     backend: str = "auto"
     # Quantize noise-crop start offsets to 1024 samples (64 ms) in the
-    # fused kernel, skipping a per-row vector rotate (~2x kernel time).
-    # Crops remain uniformly random over ~940 starts per minute of noise;
-    # set False for sample-exact reference crop offsets.
-    noise_crop_quantize: bool = True
+    # fused kernel. With the v4 2D-roll kernel the sample-exact path is
+    # the FASTER one (1.8ms vs 2.6ms per 2048-batch), so exact reference
+    # crop offsets are the default.
+    noise_crop_quantize: bool = False
 
 
 @dataclass(frozen=True)

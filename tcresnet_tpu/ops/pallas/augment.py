@@ -5,27 +5,36 @@ of a 22 ms batch-2048 step, 85%) because XLA lowers per-row shifts/crops
 to slow forms (vmapped roll ~8 ms; lane gathers ~700 ms). The reference
 semantics (augmentation_factory.py: pad+slice shift, random noise crop,
 volume gate, clip) are per-row *contiguous window reads at dynamic
-offsets* — on TPU these map to `tpu.DynamicRotate` (pltpu.roll with a
-dynamic shift) and dynamic-offset DMA, no gathers at all.
+offsets* — on TPU these map to vector rotates and dynamic-offset DMA,
+no gathers at all.
+
+Kernel evolution (all variants bit-exact vs the XLA path given the same
+per-row draws; numbers per 2048x16000 batch):
+  v2  per-row 1D rolls on [1, 16384] vectors + remainder-rolled DMA crops
+      (~5 ms — single-sublane VPU ops)
+  v3  batched [TB, n] epilogue + optional tile-quantized crop offsets
+      (2.2-3.6 ms)
+  v4  (this) all rotates decomposed over a [A, 128] 2D view: a flat roll
+      by s = q*128 + r becomes sublane-roll(q) / sublane-roll(q+1), a
+      lane-roll(r) of each, and a lane-index select — every op uses the
+      full 8x128 VPU instead of one sublane.
 
 Hardware constraints honored (discovered empirically on v5e):
-  - dynamic-shift pltpu.roll is only correct for power-of-two vector
-    widths -> rows are zero-padded to the next pow2 (16000 -> 16384);
-    the validity mask already covers the circular wrap exactly;
-  - dynamic lane offsets in slices must be 128-aligned -> the noise crop
-    DMAs a 128-aligned window from HBM and rolls by the remainder
-    (< 128) in VMEM. The noise bank therefore lives in HBM, so
-    real-length background clips (minutes of audio) are supported.
-
-Kernel, per row r of an 8-row block:
-    shifted = mask(roll(wav_r * keep_r, s_r))                # pow2 roll
-    crop    = roll(DMA(noise[clip_r, align(off_r) : +n+128]), rem_r)[:n]
-    out_r   = clamp(shifted[:n] + vol_r * crop, -1, 1)
+  - dynamic-shift pltpu.roll is only correct for power-of-two axis sizes
+    -> rows are zero-padded to the next pow2 and viewed as
+    [P/128, 128] (both dims pow2);
+  - Mosaic in-kernel reshapes cannot change the minor dim -> all
+    [B, P] <-> [B, P/128, 128] reshapes happen OUTSIDE in XLA (free);
+  - 2D HBM DMA slices need 8-row (1024-sample) aligned offsets/sizes ->
+    the noise bank is a [rows, 128] matrix and crop windows are DMA'd at
+    8-row granularity, with the sub-tile remainder handled by the same
+    2D roll decomposition (or skipped entirely when
+    AugmentConfig.noise_crop_quantize, the default).
 
 All randomness (shift, clip index, offset, volume, gate, silence) is
 drawn OUTSIDE with jax.random on [B] arrays and enters through scalar
 prefetch, so the augmentation distribution is identical to
-ops/augment.py (tested exactly equal given the same per-row draws).
+ops/augment.py.
 """
 
 from __future__ import annotations
@@ -40,6 +49,7 @@ from tcresnet_tpu.config import AugmentConfig
 
 _TB = 8  # rows per grid step (sublane-aligned)
 _LANES = 128
+_ALIGN = 8 * _LANES  # DMA tiling granularity in samples
 
 
 def _next_pow2(x: int) -> int:
@@ -49,70 +59,91 @@ def _next_pow2(x: int) -> int:
     return p
 
 
+def _roll_flat_2d(x, s, pltpu):
+    """Roll the row-major flattening of x[1, A, 128] right by s (traced).
+
+    Requires A and 128 to be powers of two (pltpu.roll correctness).
+    out[., a, b] = x_flat[(a*128 + b - s) mod A*128] decomposed as two
+    sublane rolls, two lane rolls, and a lane-index select. Rank-3
+    throughout (Mosaic rejects rank-changing slices/casts in VMEM).
+    """
+    a_rows = x.shape[1]
+    q = jax.lax.div(s, _LANES) % a_rows
+    q1 = jax.lax.rem(q + 1, a_rows)
+    r = jax.lax.rem(s, _LANES)
+    y = pltpu.roll(x, shift=q, axis=1)
+    z = pltpu.roll(x, shift=q1, axis=1)
+    ly = pltpu.roll(y, shift=r, axis=2)
+    lz = pltpu.roll(z, shift=r, axis=2)
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+    return jnp.where(b_idx >= r, ly, lz)
+
+
 def _kernel(
-    shift_ref,  # [B] int32   (scalar prefetch)
-    start_ref,  # [B] int32   (flat 1024-aligned crop start: clip*L' + align(off))
-    rem_ref,    # [B] int32   (crop offset % 1024)
+    shift_ref,  # [B] int32   (scalar prefetch; signed sample shift)
+    srow_ref,   # [B] int32   (crop start row in the 2D bank, 8-aligned)
+    rem_ref,    # [B] int32   (crop offset % 1024, samples)
     vol_ref,    # [B] f32
     keep_ref,   # [B] f32     (0.0 for silence rows)
-    wav_ref,    # [TB, P] f32 block (P = pow2 >= n)
-    noise_ref,  # [K*L'] f32 flat bank in HBM/ANY (L' lane-aligned)
-    out_ref,    # [TB, n] f32 block
-    *scratches_and_sem,  # TB x [W] crop scratches, 2 x [TB, n] bufs, sem
-    n: int,
-    window: int,  # 1024-aligned, >= n + rem_max, <= W
-    crop_rolls: bool,  # False when offsets pre-quantized to the DMA tile
+    wav_ref,    # [TB, A, 128] f32 block (A = pow2 P / 128)
+    noise_ref,  # [rows, 128] f32 bank in HBM/ANY
+    out_ref,    # [TB, A, 128] f32 block (caller slices flat [:n])
+    *scratches_and_sem,  # TB x [WR, 128] crop scratches, sem array
+    p: int,          # padded row length (pow2)
+    win_rows: int,   # DMA window height (multiple of 8)
+    crop_rolls: bool,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     scratches = scratches_and_sem[:_TB]
-    shifted_buf = scratches_and_sem[_TB]
-    crop_buf = scratches_and_sem[_TB + 1]
-    sem = scratches_and_sem[_TB + 2]
+    sem = scratches_and_sem[_TB]
     i = pl.program_id(0)
+    a_rows = p // _LANES
 
     def crop_dma(r):
-        # 1024-aligned flat DMA of row r's crop window; alignment holds by
-        # construction (stride and off_aligned are 1024 multiples)
-        start = pl.multiple_of(start_ref[i * _TB + r], 8 * 128)
+        start = pl.multiple_of(srow_ref[i * _TB + r], 8)
         return pltpu.make_async_copy(
-            noise_ref.at[pl.ds(start, window)],
-            scratches[r].at[pl.ds(0, window)],
+            noise_ref.at[pl.ds(start, win_rows)],
+            scratches[r].at[pl.ds(0, win_rows)],
             sem.at[r],
         )
 
-    # launch ALL crop DMAs up front so they overlap the roll compute
     for r in range(_TB):
         crop_dma(r).start()
 
-    w = scratches[0].shape[0]
-    # per-row rotates (the only truly per-row work)...
+    # flat sample position of each [1, A, 128] element (shared)
+    pos = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, a_rows, _LANES), 1) * _LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (1, a_rows, _LANES), 2)
+    )
+
+    # per-row shift: rotate, mask the wrapped/shifted-out region, zero
+    # silence rows; every op is a full-width [1, A, 128] VPU op
     for r in range(_TB):
         b = i * _TB + r
-        shifted_buf[r : r + 1, :] = pltpu.roll(
-            wav_ref[r : r + 1, :], shift=shift_ref[b], axis=1
-        )[:, :n]
-        crop_dma(r).wait()
-        if crop_rolls:
-            crop2d = scratches[r][:].reshape(1, w)
-            crop_buf[r : r + 1, :] = pltpu.roll(
-                crop2d, shift=-rem_ref[b], axis=1
-            )[:, :n]
-        else:
-            # offsets pre-quantized to the DMA tile: remainder is 0
-            crop_buf[r : r + 1, :] = scratches[r][:].reshape(1, w)[:, :n]
+        s_signed = shift_ref[b]
+        s = jax.lax.rem(s_signed + p, p)  # [0, p)
+        rolled = _roll_flat_2d(wav_ref[r : r + 1, :, :], s, pltpu)
+        valid = (pos >= s_signed) & (pos < p + s_signed)
+        out_ref[r : r + 1] = rolled * valid.astype(jnp.float32) * keep_ref[b]
 
-    # ...then one batched epilogue over the whole [TB, n] block:
-    # silence zeroing, shift-wrap masking, volume mix, clip
-    tile0 = i * _TB
-    svec = jnp.stack([shift_ref[tile0 + r] for r in range(_TB)])[:, None]
-    vvec = jnp.stack([vol_ref[tile0 + r] for r in range(_TB)])[:, None]
-    kvec = jnp.stack([keep_ref[tile0 + r] for r in range(_TB)])[:, None]
-    pos = jax.lax.broadcasted_iota(jnp.int32, (_TB, n), 1)
-    valid = (pos >= svec) & (pos < n + svec)
-    shifted = shifted_buf[:, :] * valid.astype(jnp.float32) * kvec
-    out_ref[:, :] = jnp.clip(shifted + vvec * crop_buf[:, :], -1.0, 1.0)
+    # per-row crop mix + clip
+    for r in range(_TB):
+        b = i * _TB + r
+        crop_dma(r).wait()
+        sc3 = scratches[r][:, :].reshape(1, *scratches[r].shape)
+        if crop_rolls:
+            total = scratches[r].shape[0] * _LANES
+            rolled = _roll_flat_2d(
+                sc3, jax.lax.rem(-rem_ref[b] + total, total), pltpu
+            )
+            crop = rolled[:, :a_rows, :]
+        else:
+            crop = sc3[:, :a_rows, :]
+        out_ref[r : r + 1] = jnp.clip(
+            out_ref[r : r + 1] + vol_ref[b] * crop, -1.0, 1.0
+        )
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))
@@ -129,67 +160,70 @@ def _fused_augment_impl(wavs, scalars, noise_bank, n, interpret, quantize_crops=
             jnp.pad(a, (0, pad_b)) for a in (shifts, clips, offs, vols, keeps)
         )
     padded_b = wavs.shape[0]
+    assert n % _LANES == 0, "clip length must be lane-aligned"
     p = _next_pow2(n)
     if p > n:
         wavs = jnp.pad(wavs, ((0, 0), (0, p - n)))
-    assert n % _LANES == 0, "pad the batch to lane-aligned clip lengths"
+    a_rows = p // _LANES
+    wavs3 = wavs.astype(jnp.float32).reshape(padded_b, a_rows, _LANES)
 
-    # 1D HBM arrays are tiled at 8*128=1024; DMA starts/sizes must be
-    # 1024-aligned, so the crop window is 1024-aligned with the remainder
-    # (< 1024) handled by an in-VMEM roll.
-    align = 8 * _LANES
-    # both the DMA offset AND size must be 1024-aligned
-    window = ((n + align) + align - 1) // align * align
-    w = _next_pow2(window)
+    # 2D noise bank [rows, 128]; crop windows are DMA'd at 8-row
+    # (1024-sample) granularity. Scratch rows = pow2 >= window rows so the
+    # remainder roll (exact mode) can use the 2D decomposition.
+    window = ((n + _ALIGN) + _ALIGN - 1) // _ALIGN * _ALIGN
+    win_rows = window // _LANES
+    scratch_rows = _next_pow2(win_rows)
     k_clips, clip_len = noise_bank.shape
-    stride = clip_len + align + window
-    stride += (-stride) % align
-    noise_flat = jnp.pad(
-        noise_bank, ((0, 0), (0, stride - clip_len))
-    ).reshape(-1)
+    stride = clip_len + _ALIGN + window
+    stride += (-stride) % _ALIGN
+    noise2d = (
+        jnp.pad(noise_bank, ((0, 0), (0, stride - clip_len)))
+        .reshape(-1, _LANES)
+    )
 
-    off_aligned = (offs // align) * align
+    off_aligned = (offs // _ALIGN) * _ALIGN
     if quantize_crops:
-        # crop starts quantized to the DMA tile: no remainder rotate
         rems = jnp.zeros_like(off_aligned, jnp.int32)
     else:
         rems = (offs - off_aligned).astype(jnp.int32)
-    starts = (clips * stride + off_aligned).astype(jnp.int32)
+    start_rows = ((clips * stride + off_aligned) // _LANES).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(padded_b // _TB,),
         in_specs=[
-            pl.BlockSpec((_TB, p), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (_TB, a_rows, _LANES), lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (_TB, n), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            (_TB, a_rows, _LANES), lambda i, *_: (i, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.VMEM((w,), jnp.float32) for _ in range(_TB)]
-        + [
-            pltpu.VMEM((_TB, n), jnp.float32),
-            pltpu.VMEM((_TB, n), jnp.float32),
-            pltpu.SemaphoreType.DMA((_TB,)),
-        ],
+        scratch_shapes=[
+            pltpu.VMEM((scratch_rows, _LANES), jnp.float32) for _ in range(_TB)
+        ]
+        + [pltpu.SemaphoreType.DMA((_TB,))],
     )
     out = pl.pallas_call(
         functools.partial(
-            _kernel, n=n, window=window, crop_rolls=not quantize_crops
+            _kernel, p=p, win_rows=win_rows, crop_rolls=not quantize_crops
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((padded_b, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((padded_b, a_rows, _LANES), jnp.float32),
         interpret=interpret,
     )(
         shifts.astype(jnp.int32),
-        starts,
+        start_rows,
         rems,
         vols.astype(jnp.float32),
         keeps.astype(jnp.float32),
-        wavs.astype(jnp.float32),
-        noise_flat,
+        wavs3,
+        noise2d,
     )
-    return out[:batch]
+    return out.reshape(padded_b, p)[:batch, :n]
 
 
 def fused_augment(
