@@ -19,7 +19,6 @@ wavs are decoded ONCE into an int16 cache array [N, desired_samples]
 from __future__ import annotations
 
 import hashlib
-import json
 from collections import defaultdict
 from dataclasses import dataclass
 from pathlib import Path

@@ -18,7 +18,6 @@ the always-available fallback and the correctness oracle.
 
 from __future__ import annotations
 
-import struct
 import wave
 from pathlib import Path
 from typing import Optional, Tuple

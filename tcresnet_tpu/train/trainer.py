@@ -45,7 +45,7 @@ from tcresnet_tpu.parallel import mesh as meshlib
 from tcresnet_tpu.train import loss as losslib
 from tcresnet_tpu.train import optim as optimlib
 from tcresnet_tpu.train.checkpoint import CheckpointManager
-from tcresnet_tpu.train.state import TrainState, create_train_state
+from tcresnet_tpu.train.state import TrainState
 from tcresnet_tpu.utils import get_logger
 
 
