@@ -39,8 +39,13 @@ class DeviceDataset:
         self.mesh = mesh
 
         if mesh is not None:
+            # device_put the HOST numpy array directly with the target
+            # sharding — materializing via jnp.asarray first would place
+            # it on the process default device, which may be a different
+            # platform than the mesh (e.g. a registered TPU plugin while
+            # building a CPU mesh).
             repl = meshlib.replicated_sharding(mesh)
-            put = lambda x: jax.device_put(jnp.asarray(x), repl)  # noqa: E731
+            put = lambda x: jax.device_put(np.asarray(x), repl)  # noqa: E731
         else:
             put = jnp.asarray
 

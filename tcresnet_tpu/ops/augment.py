@@ -165,17 +165,25 @@ def augment(
     cfg: AugmentConfig,
     noise_bank: Optional[jnp.ndarray],
     is_training: bool,
+    platform: Optional[str] = None,
 ) -> jnp.ndarray:
     """Backend-dispatching augmentation entry point.
 
     backend "auto" uses the fused Pallas kernel on TPU (profiled 3.7x
     faster than this module's XLA formulation; bit-identical results
     given the same per-row draws) and the XLA path elsewhere.
+
+    `platform` names the platform this call will actually execute on
+    (e.g. the mesh's device platform); it defaults to
+    jax.default_backend() but MUST be passed when jitting over a mesh
+    whose platform differs from the process default — e.g. a CPU mesh in
+    a process where a TPU plugin is registered, where default_backend()
+    would wrongly select Mosaic lowering for CPU devices.
     """
     backend = getattr(cfg, "backend", "auto")
-    use_pallas = backend == "pallas" or (
-        backend == "auto" and jax.default_backend() == "tpu"
-    )
+    if platform is None:
+        platform = jax.default_backend()
+    use_pallas = backend == "pallas" or (backend == "auto" and platform == "tpu")
     if use_pallas:
         from tcresnet_tpu.ops.pallas.augment import fused_augment
 

@@ -61,6 +61,13 @@ class Trainer:
         self.cfg = cfg
         self.data = train_data
         self.mesh = mesh
+        # Platform the train step will execute on: the mesh's, not the
+        # process default (a registered TPU plugin must not leak Pallas
+        # kernels or array placement into a CPU-mesh run).
+        self.platform = (
+            mesh.devices.flat[0].platform if mesh is not None
+            else jax.default_backend()
+        )
         self.log = get_logger("trainer")
         self.workdir = Path(workdir or cfg.train.train_dir)
         self.workdir.mkdir(parents=True, exist_ok=True)
@@ -98,6 +105,14 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _init_state(self) -> TrainState:
+        if self.mesh is not None:
+            # Initialize on a mesh device: the process default device may
+            # be a different platform (hermeticity w.r.t. TPU plugins).
+            with jax.default_device(self.mesh.devices.flat[0]):
+                return self._init_state_impl()
+        return self._init_state_impl()
+
+    def _init_state_impl(self) -> TrainState:
         rng = jax.random.key(self.cfg.train.seed)
         sample = jnp.zeros((2,) + self.feature_shape, jnp.float32)
         params_rng, dropout_rng = jax.random.split(rng)
@@ -217,7 +232,8 @@ class Trainer:
             arrays, k_sample, cfg.train.batch_size, self.mesh
         )
         wavs = aug.augment(
-            raw_wavs, silent, k_aug, cfg.augment, noise_bank, is_training=True
+            raw_wavs, silent, k_aug, cfg.augment, noise_bank,
+            is_training=True, platform=self.platform,
         )
         batch = (wavs, labels, silent)
 
@@ -356,7 +372,9 @@ class Trainer:
         k1, k2 = jax.random.split(key)
         wavs, _, silent = DeviceDataset.sample_batch(self.data.arrays, k1, 4)
         noise = self.data.noise_bank
-        wavs = aug.augment(wavs, silent, k2, self.cfg.augment, noise, True)
+        wavs = aug.augment(
+            wavs, silent, k2, self.cfg.augment, noise, True, platform=self.platform
+        )
         self.writer.write_audio(
             step, "input_audio", np.asarray(wavs), self.cfg.audio.sample_rate
         )
