@@ -73,12 +73,30 @@ class MetricWriter:
             self._tb.close()
 
 
+def crossed_boundary(prev_step: int, step: int, every: int) -> bool:
+    """True if advancing prev_step -> step crossed a multiple of `every`.
+
+    The train loop advances `steps_per_call` steps per host dispatch;
+    interval checks must fire whenever a boundary falls anywhere inside
+    the advanced window (a plain `step % every == 0` silently skips
+    boundaries whenever steps_per_call does not divide `every`).
+    """
+    return every > 0 and (step // every) > (prev_step // every)
+
+
 def should_write_summary(
-    step: int, default_every: int, verbose_every: int, first_n: int
+    step: int, default_every: int, verbose_every: int, first_n: int,
+    prev_step: int = None,
 ) -> bool:
-    """Tiered cadence check (helper/trainer.py:377-391)."""
+    """Tiered cadence check (helper/trainer.py:377-391).
+
+    With `prev_step` given, uses boundary-crossing semantics over the
+    (prev_step, step] window; otherwise exact-step checks.
+    """
+    if prev_step is None:
+        prev_step = step - 1
     return (
-        step <= first_n
-        or step % default_every == 0
-        or (verbose_every > 0 and step % verbose_every == 0)
+        prev_step < first_n
+        or crossed_boundary(prev_step, step, default_every)
+        or crossed_boundary(prev_step, step, verbose_every)
     )

@@ -37,7 +37,11 @@ import numpy as np
 
 from tcresnet_tpu.config import ExperimentConfig
 from tcresnet_tpu.data.device_data import DeviceDataset
-from tcresnet_tpu.metrics.writers import MetricWriter, should_write_summary
+from tcresnet_tpu.metrics.writers import (
+    MetricWriter,
+    crossed_boundary,
+    should_write_summary,
+)
 from tcresnet_tpu.models import build_model, param_count
 from tcresnet_tpu.ops import augment as aug
 from tcresnet_tpu.ops import dsp
@@ -318,28 +322,32 @@ class Trainer:
             else:
                 fn = self._train_fn
             self.state, summary = fn(self.state, *arrays, noise)
-            step += n
+            prev_step, step = step, step + n
             now = time.perf_counter()
 
+            # All interval checks use boundary-crossing semantics over the
+            # (prev_step, step] window: the loop advances n steps per host
+            # dispatch, and `step % N == 0` would silently skip boundaries
+            # whenever n does not divide N.
             if pending is not None:
                 self._write_summary(*pending)
             wants_summary = should_write_summary(
                 step, cfg.summary_step_default, cfg.summary_step_verbose,
-                cfg.summary_first_n,
+                cfg.summary_first_n, prev_step=prev_step,
             ) or step >= max_step
             pending = (step, summary, n, now - t_last) if wants_summary else None
             t_last = now
 
-            if cfg.step_evaluation > 0 and step % cfg.step_evaluation == 0:
+            if crossed_boundary(prev_step, step, cfg.step_evaluation):
                 self._train_stream_eval(step)
 
-            if (
-                cfg.summary_step_verbose > 0
-                and step % cfg.summary_step_verbose == 0
-            ):
+            if crossed_boundary(prev_step, step, cfg.summary_step_verbose):
                 self._write_audio_summary(step)
 
-            if step % cfg.step_save_checkpoint == 0 or step >= max_step:
+            if (
+                crossed_boundary(prev_step, step, cfg.step_save_checkpoint)
+                or step >= max_step
+            ):
                 if step >= cfg.step_minimum_save:
                     self.ckpt.save(step, jax.device_get(self.state))
 

@@ -7,7 +7,7 @@ from tcresnet_tpu.metrics.host_metrics import (
     confusion_matrix,
     top_k_accuracy,
 )
-from tcresnet_tpu.metrics.writers import should_write_summary
+from tcresnet_tpu.metrics.writers import crossed_boundary, should_write_summary
 
 
 def test_top_k():
@@ -62,3 +62,16 @@ def test_summary_cadence():
     assert not should_write_summary(31, 10, 2000, 30)
     assert should_write_summary(40, 10, 2000, 30)
     assert should_write_summary(2000, 10, 2000, 30)
+
+
+def test_crossed_boundary():
+    # fused windows fire whenever a multiple of `every` lies in (prev, step]
+    assert crossed_boundary(48, 64, 50)
+    assert crossed_boundary(49, 50, 50)
+    assert not crossed_boundary(50, 64, 50)
+    assert not crossed_boundary(0, 49, 50)
+    assert crossed_boundary(0, 150, 50)  # crosses several at once
+    assert not crossed_boundary(10, 20, 0)  # disabled interval
+    # windowed summary check: boundary 40 crossed inside (35, 42]
+    assert should_write_summary(42, 10, 2000, 30, prev_step=35)
+    assert not should_write_summary(49, 10, 2000, 30, prev_step=41)

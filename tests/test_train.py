@@ -117,6 +117,25 @@ def test_checkpoint_save_resume(tmp_path, tiny_data):
     assert int(s2.step) == 40
 
 
+def test_checkpoint_cadence_with_nondividing_steps_per_call(tmp_path, tiny_data):
+    """Interval checks must fire on boundary CROSSINGS: with steps_per_call
+    not dividing step_save_checkpoint, `step % N == 0` never fires and a
+    crash would lose the whole run."""
+    import dataclasses
+
+    cfg = tiny_config(tmp_path / "run", max_step=130)  # ckpt every 30
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, max_to_keep=10))
+    tr = Trainer(
+        cfg, DeviceDataset(tiny_data), workdir=tmp_path / "run", steps_per_call=8
+    )
+    tr.train()
+    tr.ckpt.wait()
+    steps = list(tr.ckpt.all_steps())
+    # boundaries 30/60/90/120 are crossed at call-end steps 32/64/96/120,
+    # plus the final step 130
+    assert steps == [32, 64, 96, 120, 130], steps
+
+
 def test_ema_tracking(tmp_path, tiny_data):
     cfg = tiny_config(tmp_path / "run", max_step=10)
     cfg = cfg.replace(optim=OptimConfig(optimizer="adam", lr_list=(1e-3,), boundaries=(),
