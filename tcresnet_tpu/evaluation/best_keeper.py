@@ -80,12 +80,49 @@ class BestKeeper:
                 keep[metric] = False
         return any_keep, keep
 
+    def save_best_state(
+        self, metrics_keep: Dict[str, bool], state, step: int
+    ) -> None:
+        """Promote the just-evaluated in-memory state: write a FRESH
+        checkpoint into each improved metric dir.
+
+        Immune to the trainer's max_to_keep GC racing the evaluator (the
+        copy-from-ckpt-dir path could lose the best checkpoint without
+        error when the step dir was already deleted); the reference
+        likewise copied eagerly inside the eval pass
+        (common/tf_utils.py:148-170).
+        """
+        from tcresnet_tpu.train.checkpoint import CheckpointManager
+
+        for metric, is_keep in metrics_keep.items():
+            if not is_keep:
+                continue
+            # Same on-disk layout as the trainer's checkpoints, so the
+            # export/eval CLIs restore promoted bests identically;
+            # max_to_keep=1 garbage-collects the previously promoted step.
+            mgr = CheckpointManager(self._metric_dir(metric), max_to_keep=1)
+            mgr.save(step, state, force=True)
+            mgr.wait()
+            mgr.close()
+
     def save_best(
         self, metrics_keep: Dict[str, bool], ckpt_dir, step: Optional[int] = None
     ) -> None:
-        """Copy the checkpoint for `step` into each improved metric dir."""
+        """Copy the checkpoint for `step` into each improved metric dir.
+
+        Prefer save_best_state (race-free); this path raises loudly if
+        the source step dir has been garbage-collected.
+        """
         ckpt_dir = Path(ckpt_dir)
         src = ckpt_dir if step is None else ckpt_dir / str(step)
+        if not any(metrics_keep.values()):
+            return
+        if not src.exists():
+            raise FileNotFoundError(
+                f"Cannot promote best checkpoint: {src} no longer exists "
+                "(likely max_to_keep GC); use save_best_state to promote "
+                "from the evaluated state instead."
+            )
         for metric, is_keep in metrics_keep.items():
             if not is_keep:
                 continue
@@ -98,8 +135,7 @@ class BestKeeper:
                         else:
                             child.unlink()
             dst.mkdir(parents=True, exist_ok=True)
-            if src.exists():
-                shutil.copytree(src, dst / src.name, dirs_exist_ok=True)
+            shutil.copytree(src, dst / src.name, dirs_exist_ok=True)
 
     def save_scores(
         self,

@@ -124,7 +124,12 @@ class WatchingEvaluator:
         self.best_keeper.save_scores(
             keep, scores, meta_info={"step": step, "model_size": self._n_params}
         )
-        self.best_keeper.save_best(keep, self.ckpt.directory, step)
+        # Promote from the state in memory, not the trainer's ckpt dir:
+        # orbax max_to_keep GC may delete the step dir while the (slower)
+        # evaluator is mid-pass.
+        import jax
+
+        self.best_keeper.save_best_state(keep, jax.device_get(state), step)
         self.writer.write(step, scores)
         self.log.info(
             f"step {step}: acc {scores['accuracy']:.4f} loss {scores['loss']:.4f}"

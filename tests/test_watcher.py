@@ -33,6 +33,53 @@ def test_watcher_evaluates_and_promotes(tmp_path):
     assert "accuracy" in header and "step" in header and "model_size" in header
 
 
+def test_promotion_survives_checkpoint_gc(tmp_path):
+    """The trainer's max_to_keep GC may delete a step dir while the
+    evaluator is mid-pass; promotion must still produce a loadable best
+    checkpoint (it snapshots the in-memory state, not the source dir)."""
+    import shutil
+
+    host = make_synthetic_dataset(num_samples=128, num_classes=4, desired_samples=4000, seed=6)
+    valid = make_synthetic_dataset(num_samples=48, num_classes=4, desired_samples=4000, seed=7)
+    cfg = tiny_config(tmp_path / "run", max_step=30)
+    trainer = Trainer(cfg, DeviceDataset(host), workdir=tmp_path / "run")
+    trainer.train()
+    trainer.ckpt.wait()
+
+    valid.split = "valid"
+    watcher = WatchingEvaluator(cfg, DeviceDataset(valid), tmp_path / "run")
+
+    # Simulate GC racing the eval pass: the step dir vanishes after the
+    # watcher restored the state but before promotion.
+    orig_evaluate = watcher.evaluator.evaluate
+
+    def evaluate_and_gc(state, *a, **kw):
+        shutil.rmtree(watcher.ckpt.directory / "30")
+        return orig_evaluate(state, *a, **kw)
+
+    watcher.evaluator.evaluate = evaluate_and_gc
+    scores = watcher.evaluate_once(30)
+    assert np.isfinite(scores["loss"])
+
+    best = watcher.best_keeper.best_checkpoint_dir("accuracy")
+    assert best is not None and best.name == "30"
+    # the promoted checkpoint restores into the same state tree
+    from tcresnet_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(best.parent)
+    restored = mgr.restore(watcher._template_state, 30)
+    assert int(restored.step) == 30
+
+
+def test_save_best_raises_when_source_gone(tmp_path):
+    from tcresnet_tpu.evaluation.best_keeper import BestKeeper
+    import pytest
+
+    bk = BestKeeper({"accuracy": "max"}, "valid", tmp_path / "best")
+    with pytest.raises(FileNotFoundError):
+        bk.save_best({"accuracy": True}, tmp_path / "ckpt", 30)
+
+
 def test_checkpoint_iterator_timeout(tmp_path):
     from tcresnet_tpu.train.checkpoint import CheckpointManager
 
