@@ -115,6 +115,9 @@ class OptimConfig:
     rmsprop_epsilon: float = 1e-10
     use_ema: bool = False
     ema_decay: float = 0.999
+    # Shift LR boundaries forward by the restored step on resume /
+    # kept-step warm start (reference helper/trainer.py:120-133).
+    relative_schedule: bool = False
     # Regexes over '/'-joined param paths; when non-empty, ONLY matching
     # params receive updates (reference: --trainable_scopes via
     # common/tf_utils.get_variables_to_train, tf_utils.py:19-37).
@@ -127,6 +130,9 @@ class TrainConfig:
 
     batch_size: int = 100
     max_step: int = 30000
+    # Stop after this many epochs (num_samples // batch_size steps each)
+    # if reached before max_step; 0 disables (helper/trainer.py:419-425).
+    max_epoch: int = 0
     step_save_checkpoint: int = 500
     step_evaluation: int = 500
     step_minimum_save: int = 0

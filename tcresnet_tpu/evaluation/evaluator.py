@@ -66,13 +66,22 @@ class Evaluator:
             {"params": params, "batch_stats": batch_stats}, feats, training=False
         )
         onehot = jax.nn.one_hot(labels, self.cfg.model.num_classes)
-        loss = losslib.smoothed_softmax_cross_entropy(
+        # per-example losses: the final partial batch is padded with
+        # duplicate rows, so the mean must be taken on host over the
+        # valid rows only (a batch-mean here would bias the eval loss).
+        losses = losslib.per_example_softmax_cross_entropy(
             logits, onehot, self.cfg.model.label_smoothing
         )
-        return jax.nn.softmax(logits, axis=-1), labels, loss
+        return jax.nn.softmax(logits, axis=-1), labels, losses
 
-    def evaluate(self, state_or_params, batch_stats=None) -> Dict[str, float]:
-        """Evaluate the whole split; returns the metric dict."""
+    def evaluate(
+        self, state_or_params, batch_stats=None, include_report: bool = True
+    ) -> Dict[str, float]:
+        """Evaluate the whole split; returns the metric dict.
+
+        `include_report` adds the sklearn classification report as a
+        string under "classification_report" (the reference logged it at
+        every eval, metrics/ops/non_tensor_ops.py report op)."""
         if batch_stats is None:
             params = (
                 state_or_params.eval_params
@@ -89,14 +98,14 @@ class Evaluator:
         arrays = self.data.arrays
         for idx, mask in self.data.eval_index_batches(batch):
             t0 = time.perf_counter()
-            scores, labels, loss = self._eval_fn(
+            scores, labels, losses = self._eval_fn(
                 params, batch_stats, arrays, jnp.asarray(idx)
             )
             scores = np.asarray(jax.block_until_ready(scores))
             infer_times.append(time.perf_counter() - t0)
             all_scores.append(scores[mask])
             all_labels.append(np.asarray(labels)[mask])
-            all_losses.append(float(loss))
+            all_losses.append(np.asarray(losses)[mask])
 
         scores = np.concatenate(all_scores)
         labels = np.concatenate(all_labels)
@@ -105,9 +114,10 @@ class Evaluator:
             labels,
             self.data.label_names,
             use_class_metrics=len(self.data.label_names) < 10,
-            include_report=False,
+            include_report=include_report,
         )
-        metrics["loss"] = float(np.mean(all_losses))
+        # exact mean over true samples (padded rows masked out above)
+        metrics["loss"] = float(np.mean(np.concatenate(all_losses)))
         metrics["num_samples"] = float(len(labels))
         # steady-state latency stats (skip the compile-laden first batch)
         steady = infer_times[1:] or infer_times

@@ -135,6 +135,11 @@ class WatchingEvaluator:
             f"step {step}: acc {scores['accuracy']:.4f} loss {scores['loss']:.4f}"
             + ("  [best kept]" if any(keep.values()) else "")
         )
+        # log-only classification report, as the reference's report op
+        # (metrics/ops/non_tensor_ops.py: is_for_log, never summarized)
+        report = scores.get("classification_report")
+        if report:
+            self.log.info(f"classification report (step {step}):\n{report}")
         return scores
 
     def watch(

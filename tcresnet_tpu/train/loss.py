@@ -13,19 +13,24 @@ import jax
 import jax.numpy as jnp
 
 
-def smoothed_softmax_cross_entropy(
+def per_example_softmax_cross_entropy(
     logits: jnp.ndarray, onehot: jnp.ndarray, label_smoothing: float = 0.0
 ) -> jnp.ndarray:
-    """tf.losses.softmax_cross_entropy semantics, mean over batch.
-
-    Smoothing redistributes mass: y = y*(1-s) + s/num_classes.
-    """
+    """Per-example CE with label smoothing: y = y*(1-s) + s/num_classes."""
     if label_smoothing > 0.0:
         num_classes = onehot.shape[-1]
         onehot = onehot * (1.0 - label_smoothing) + label_smoothing / num_classes
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    per_example = -jnp.sum(onehot * log_probs, axis=-1)
-    return jnp.mean(per_example)
+    return -jnp.sum(onehot * log_probs, axis=-1)
+
+
+def smoothed_softmax_cross_entropy(
+    logits: jnp.ndarray, onehot: jnp.ndarray, label_smoothing: float = 0.0
+) -> jnp.ndarray:
+    """tf.losses.softmax_cross_entropy semantics, mean over batch."""
+    return jnp.mean(
+        per_example_softmax_cross_entropy(logits, onehot, label_smoothing)
+    )
 
 
 def _is_batch_norm_path(path) -> bool:

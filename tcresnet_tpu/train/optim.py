@@ -80,6 +80,15 @@ def build_optimizer(
 ):
     """Returns (optax.GradientTransformation, schedule_fn).
 
+    The transformation is built with UNIT learning rate; the caller
+    scales the returned updates by `schedule(global_step)` (see
+    scale_updates). This makes the LR a pure function of the global
+    step — exactly the reference's semantics (helper/trainer.py:107-137,
+    lr = piecewise_constant(global_step, ...)) — so resume, warm-start
+    with a kept step, and the relative boundary shift on restore
+    (trainer.py:120-133) are all correct without any hidden
+    schedule-count state in the optimizer.
+
     When cfg.trainable_scopes is non-empty, updates for non-matching
     params are zeroed (requires `params` for the mask structure).
     """
@@ -87,14 +96,14 @@ def build_optimizer(
     schedule = piecewise_constant(boundaries, cfg.lr_list)
 
     if cfg.optimizer == "gd":
-        tx = optax.sgd(learning_rate=schedule)
+        tx = optax.sgd(learning_rate=1.0)
     elif cfg.optimizer == "mom":
-        tx = optax.sgd(learning_rate=schedule, momentum=cfg.momentum)
+        tx = optax.sgd(learning_rate=1.0, momentum=cfg.momentum)
     elif cfg.optimizer == "adam":
-        tx = optax.adam(learning_rate=schedule, eps=cfg.adam_epsilon)
+        tx = optax.adam(learning_rate=1.0, eps=cfg.adam_epsilon)
     elif cfg.optimizer == "rmsprop":
         tx = optax.rmsprop(
-            learning_rate=schedule, decay=cfg.rmsprop_decay, eps=cfg.rmsprop_epsilon
+            learning_rate=1.0, decay=cfg.rmsprop_decay, eps=cfg.rmsprop_epsilon
         )
     else:
         raise ValueError(f"Unknown optimizer {cfg.optimizer!r}")
@@ -112,6 +121,18 @@ def build_optimizer(
             {"train": tx, "freeze": optax.set_to_zero()}, labels
         )
     return tx, schedule
+
+
+def scale_updates(updates, lr):
+    """Scale unit-LR optimizer updates by the schedule value for this step.
+
+    Equivalent to TF's optimizers applying `lr * accumulator` at each
+    step: a boundary change re-scales the whole momentum/adam update
+    immediately, matching tf.train.MomentumOptimizer/AdamOptimizer.
+    """
+    import jax
+
+    return jax.tree_util.tree_map(lambda u: lr * u, updates)
 
 
 def ema_update(ema_params, params, decay: float):

@@ -143,11 +143,35 @@ class Trainer:
         return state
 
     def maybe_restore(self) -> int:
-        """Resume from the latest checkpoint if one exists; returns step."""
+        """Resume from the latest checkpoint if one exists; returns step.
+
+        With cfg.optim.relative_schedule, the LR boundaries are shifted
+        forward by the restored step (reference --lr_*_relative behavior,
+        helper/trainer.py:120-133).
+        """
         step = self.ckpt.latest_step()
         if step is not None:
             self.state = self.ckpt.restore(self.state, step)
+            self._apply_relative_schedule(int(self.state.step))
         return int(self.state.step)
+
+    def _apply_relative_schedule(self, restore_step: int) -> None:
+        if not self.cfg.optim.relative_schedule or restore_step <= 0:
+            return
+        boundaries = optimlib.resolve_boundaries(
+            self.cfg.optim,
+            steps_per_epoch=self._steps_per_epoch,
+            restore_step=restore_step,
+            relative=True,
+        )
+        self.lr_schedule = optimlib.piecewise_constant(
+            boundaries, self.cfg.optim.lr_list
+        )
+        # the train fns close over the schedule at trace time
+        self._train_fn = self._build_train_fn()
+        self.log.info(
+            f"LR boundaries shifted by restore step {restore_step}: {boundaries}"
+        )
 
     def warm_start(
         self,
@@ -182,6 +206,11 @@ class Trainer:
             ignore_missing,
         )
         new_step = self.state.step * 0 if reset_step else restored.step
+        if not reset_step:
+            # LR is schedule(global_step), so keeping the step keeps the
+            # applied LR consistent with the logged one; optionally shift
+            # the boundaries relative to it.
+            self._apply_relative_schedule(int(restored.step))
         self.state = self.state.replace(
             step=new_step,
             params=params,
@@ -245,6 +274,10 @@ class Trainer:
             state.params, state.batch_stats, batch, k_drop
         )
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        # LR is a pure function of the global step (reference semantics:
+        # piecewise_constant(global_step)); the optimizer itself is unit-LR.
+        lr = self.lr_schedule(state.step)
+        updates = optimlib.scale_updates(updates, lr)
         new_params = jax.tree_util.tree_map(
             lambda p, u: p + u, state.params, updates
         )
@@ -294,6 +327,10 @@ class Trainer:
     def train(self, max_step: Optional[int] = None) -> TrainState:
         cfg = self.cfg.train
         max_step = max_step or cfg.max_step
+        if cfg.max_epoch > 0:
+            # epoch-based stop (reference helper/trainer.py:419-425):
+            # one epoch = num_samples // batch_size steps
+            max_step = min(max_step, cfg.max_epoch * self._steps_per_epoch)
         start = self.maybe_restore()
         if start >= max_step:
             self.log.info(f"Already at step {start} >= {max_step}")

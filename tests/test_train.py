@@ -148,6 +148,84 @@ def test_ema_tracking(tmp_path, tiny_data):
     assert not np.allclose(np.asarray(p), np.asarray(e))  # EMA lags params
 
 
+def test_unit_lr_optimizer_scaled_by_schedule(tmp_path, tiny_data):
+    """The applied LR is schedule(global_step): with lr 0 the params must
+    not move (proves the scale_updates path IS the learning rate)."""
+    cfg = tiny_config(tmp_path / "run", max_step=10)
+    cfg = cfg.replace(optim=OptimConfig(optimizer="mom", lr_list=(0.0,), boundaries=()))
+    tr = Trainer(cfg, DeviceDataset(tiny_data), workdir=tmp_path / "run")
+    p0 = jax.device_get(tr.state.params)
+    state = tr.train()
+    p1 = jax.device_get(state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(state.step) == 10
+
+
+def test_relative_schedule_shift_on_resume(tmp_path, tiny_data):
+    """cfg.optim.relative_schedule shifts LR boundaries forward by the
+    restored step (reference helper/trainer.py:120-133)."""
+    cfg = tiny_config(tmp_path / "run", max_step=30)
+    tr1 = Trainer(cfg, DeviceDataset(tiny_data), workdir=tmp_path / "run")
+    tr1.train()
+    tr1.ckpt.wait()
+
+    opt = OptimConfig(
+        optimizer="adam", lr_list=(3e-3, 3e-4), boundaries=(20,),
+        relative_schedule=True,
+    )
+    cfg2 = tiny_config(tmp_path / "run", max_step=40).replace(optim=opt)
+    tr2 = Trainer(cfg2, DeviceDataset(tiny_data), workdir=tmp_path / "run")
+    assert tr2.maybe_restore() == 30
+    # boundary 20 shifted to 50: step 40 still uses the FIRST lr
+    assert float(tr2.lr_schedule(40)) == pytest.approx(3e-3)
+    assert float(tr2.lr_schedule(51)) == pytest.approx(3e-4)
+
+    # without the flag, step 40 is past the unshifted boundary
+    cfg3 = cfg2.replace(optim=OptimConfig(
+        optimizer="adam", lr_list=(3e-3, 3e-4), boundaries=(20,)))
+    tr3 = Trainer(cfg3, DeviceDataset(tiny_data), workdir=tmp_path / "run")
+    tr3.maybe_restore()
+    assert float(tr3.lr_schedule(40)) == pytest.approx(3e-4)
+
+
+def test_max_epoch_stop(tmp_path, tiny_data):
+    """max_epoch caps training at num_samples//batch steps per epoch
+    (reference helper/trainer.py:419-425)."""
+    import dataclasses
+
+    cfg = tiny_config(tmp_path / "run", max_step=60)
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, max_epoch=2))
+    tr = Trainer(cfg, DeviceDataset(tiny_data), workdir=tmp_path / "run")
+    state = tr.train()
+    # 256 samples / batch 32 = 8 steps per epoch; 2 epochs = 16 steps
+    assert int(state.step) == 16
+
+
+def test_eval_loss_excludes_padded_rows(tiny_data):
+    """Eval loss must be the exact mean over true samples regardless of
+    the batch size's padding of the final partial batch."""
+    cfg = tiny_config("/tmp/unused_loss")
+    dd = DeviceDataset(tiny_data)
+    from tcresnet_tpu.train.state import create_train_state
+    from tcresnet_tpu.train.optim import build_optimizer
+    from tcresnet_tpu.models import build_model
+    from tcresnet_tpu.ops import dsp
+    model = build_model(cfg.model, dsp.feature_shape(cfg.audio))
+    tx, _ = build_optimizer(cfg.optim)
+    state = create_train_state(
+        model, tx, jax.random.key(0),
+        jnp.zeros((2,) + dsp.feature_shape(cfg.audio), jnp.float32),
+    )
+    # batch 100 pads the last batch with 44 duplicate rows; batch 256
+    # divides exactly. The losses must agree.
+    m_padded = Evaluator(cfg.replace(data=DataConfig(eval_batch_size=100)), dd).evaluate(state)
+    m_exact = Evaluator(cfg.replace(data=DataConfig(eval_batch_size=256)), dd).evaluate(state)
+    assert m_padded["loss"] == pytest.approx(m_exact["loss"], rel=1e-5)
+    assert "classification_report" in m_padded
+    assert isinstance(m_padded["classification_report"], str)
+
+
 def test_best_keeper_roundtrip(tmp_path):
     bk = BestKeeper({"accuracy": "max", "loss": "min"}, "valid", tmp_path)
     keep, which = bk.monitor({"accuracy": 0.5, "loss": 1.0})
