@@ -65,6 +65,11 @@ class AugmentConfig:
     background_frequency: float = 0.8
     background_max_volume: float = 0.1
     shift_ratio: float = 0.1
+    # Background-mix version (augmentation_factory.py:38 naive_version
+    # defaults True). naive (v1): training rows mixed at U[0,max_volume)
+    # with prob background_frequency. v2 (:81-95): additionally, SILENCE
+    # rows are mixed at volume U[0,1) — even at eval.
+    naive_background_mix: bool = True
     # -1: auto = num_samples // num_labels
     # (reference: datasets/audio_data_wrapper.py:164-174)
     num_silent: int = -1

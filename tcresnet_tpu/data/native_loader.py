@@ -24,12 +24,22 @@ _lib = None
 _lib_checked = False
 
 
+def _stale() -> bool:
+    """True when the .so is missing or older than any C++ source."""
+    if not _LIB_PATH.exists():
+        return True
+    lib_mtime = _LIB_PATH.stat().st_mtime
+    return any(
+        src.stat().st_mtime > lib_mtime for src in _CSRC.glob("*.cc")
+    )
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _lib_checked
     if _lib_checked:
         return _lib
     _lib_checked = True
-    if not _LIB_PATH.exists():
+    if _stale():
         try:
             subprocess.run(
                 ["make", "-C", str(_CSRC)],
@@ -38,8 +48,10 @@ def _load() -> Optional[ctypes.CDLL]:
                 timeout=120,
             )
         except Exception as e:  # toolchain unavailable -> numpy fallback
-            log.info(f"native decoder unavailable ({e}); using numpy fallback")
-            return None
+            if not _LIB_PATH.exists():
+                log.info(f"native decoder unavailable ({e}); using numpy fallback")
+                return None
+            log.info(f"native decoder rebuild failed ({e}); using existing lib")
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
         lib.tcresnet_decode_batch.restype = ctypes.c_int

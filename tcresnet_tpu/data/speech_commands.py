@@ -86,12 +86,15 @@ def list_files(
 def oversample(
     filenames: List[str], labels: List[int], oversampling_ratio: float
 ) -> Tuple[List[str], List[int]]:
-    """Label-balancing oversampling (data_wrapper_base.py:219-248).
+    """Label-balancing oversampling, literal reference semantics
+    (data_wrapper_base.py:219-248).
 
-    Each label's samples are repeated `round(max(min_needed/n, 1) * 5) / 5`
-    -ish times; we reproduce the reference's integer-ratio formula
-    ratio = int(max(min_num/num, 1.0) * 5 + 0.5) applied as whole-list
-    repetition (ratio - 1 extra copies).
+    ratio = int(max(min_needed/count, 1.0) * 5 + 0.5) and each label's
+    samples are appended (ratio - 1) extra times, i.e. the label ends up
+    with count * ratio entries. NOTE the reference's n=5 "approximation"
+    scale is applied to the repetition count itself, so even balanced
+    labels are inflated ~5x (ratio = 5 whenever min_needed <= count).
+    This quirk is reproduced verbatim; the feature is off by default.
     """
     by_label = defaultdict(list)
     for fn, lb in zip(filenames, labels):
@@ -103,10 +106,8 @@ def oversample(
     n = 5
     for lb, cnt in sorted(counts.items()):
         ratio = int(max(min_needed / cnt, 1.0) * n + 0.5)
-        # reference repeats (ratio - 1) extra copies with its n-scaled ratio;
-        # we keep the exact formula then de-scale to whole copies.
-        copies = max(ratio // n - 1, 0)
-        for _ in range(copies):
+        log.info(f"oversampling label {lb}: {cnt} x {ratio} => {cnt * ratio}")
+        for _ in range(ratio - 1):
             out_f.extend(by_label[lb])
             out_l.extend(lb for _ in range(cnt))
     return out_f, out_l
@@ -131,10 +132,22 @@ def _decode_all(
 
 
 def _cache_key(filenames: Sequence[str], desired_samples: int) -> str:
+    """Cache key over names AND file stat (size + mtime), so re-recorded
+    wavs invalidate the decode cache instead of serving stale features."""
+    import os
+
     h = hashlib.sha256()
     h.update(str(desired_samples).encode())
+    stats = {}
     for fn in filenames:
+        if fn not in stats:
+            try:
+                st = os.stat(fn)
+                stats[fn] = f"{st.st_size}:{st.st_mtime_ns}"
+            except OSError:
+                stats[fn] = "?"
         h.update(fn.encode())
+        h.update(stats[fn].encode())
     return h.hexdigest()[:16]
 
 

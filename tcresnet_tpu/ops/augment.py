@@ -108,6 +108,42 @@ def time_shift(wavs: jnp.ndarray, key: jax.Array, shift_ratio: float) -> jnp.nda
     return out[:, :num_samples]
 
 
+def draw_background_volumes(
+    key: jax.Array,
+    is_silent: jnp.ndarray,
+    cfg: AugmentConfig,
+    is_training: bool,
+) -> jnp.ndarray:
+    """Per-row background-mix volumes, both reference versions.
+
+    naive / v1 (augmentation_factory.py:69-79, the default per :38):
+    training rows get volume U[0, max_volume) with prob
+    background_frequency, else 0; eval rows always 0.
+
+    v2 (:81-95, from tensorflow/examples/speech_commands input_data.py):
+    silence rows get volume U[0, 1) — training AND eval — while
+    non-silence rows behave as in v1.
+
+    Shared by the XLA path and the fused Pallas kernel (which takes the
+    volumes via scalar prefetch), so both backends expose both versions.
+    """
+    batch = is_silent.shape[0]
+    k_gate, k_vol, k_sil = jax.random.split(key, 3)
+    if is_training:
+        gate = jax.random.uniform(k_gate, (batch,)) < cfg.background_frequency
+        fore = jnp.where(
+            gate,
+            jax.random.uniform(k_vol, (batch,)) * cfg.background_max_volume,
+            0.0,
+        )
+    else:
+        fore = jnp.zeros((batch,), jnp.float32)
+    if getattr(cfg, "naive_background_mix", True):
+        return fore
+    sil = jax.random.uniform(k_sil, (batch,))
+    return jnp.where(is_silent, sil, fore)
+
+
 def mix_background(
     wavs: jnp.ndarray,
     is_silent: jnp.ndarray,
@@ -116,6 +152,7 @@ def mix_background(
     background_frequency: float,
     background_max_volume: float,
     is_training: bool,
+    volumes: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Mix random background-noise crops into a batch of wavs.
 
@@ -146,7 +183,9 @@ def mix_background(
     rows = bank[idx]  # [B, clip_len + pad]
     crops = dynamic_window_rows(rows, offsets, out_len)[:, :num_samples]
 
-    if is_training:
+    if volumes is not None:
+        volume = volumes
+    elif is_training:
         gate = jax.random.uniform(k_gate, (batch,)) < background_frequency
         volume = jnp.where(
             gate, jax.random.uniform(k_vol, (batch,)) * background_max_volume, 0.0
@@ -221,12 +260,14 @@ def augment_batch(
     if noise_bank is None or noise_bank.shape[0] == 0:
         return jnp.where(is_silent[:, None], 0.0, wavs)
 
+    k_mix, k_vols = jax.random.split(k_bg)
     return mix_background(
         wavs,
         is_silent,
         noise_bank,
-        k_bg,
+        k_mix,
         cfg.background_frequency,
         cfg.background_max_volume,
         is_training,
+        volumes=draw_background_volumes(k_vols, is_silent, cfg, is_training),
     )

@@ -249,7 +249,7 @@ def fused_augment(
             wavs, is_silent, key, cfg, noise_bank, is_training
         )
 
-    k_shift, k_idx, k_off, k_gate, k_vol = jax.random.split(key, 5)
+    k_shift, k_idx, k_off, k_vol = jax.random.split(key, 4)
     max_shift = int(n * cfg.shift_ratio)
     if cfg.method == "anchored_slice_or_pad_with_shift" and max_shift > 0:
         shifts = jax.random.randint(k_shift, (batch,), -max_shift, max_shift)
@@ -259,15 +259,9 @@ def fused_augment(
     k_clips, clip_len = noise_bank.shape
     clips = jax.random.randint(k_idx, (batch,), 0, k_clips)
     offs = jax.random.randint(k_off, (batch,), 0, clip_len - n + 1)
-    if is_training:
-        gate = jax.random.uniform(k_gate, (batch,)) < cfg.background_frequency
-        vols = jnp.where(
-            gate,
-            jax.random.uniform(k_vol, (batch,)) * cfg.background_max_volume,
-            0.0,
-        )
-    else:
-        vols = jnp.zeros((batch,), jnp.float32)
+    from tcresnet_tpu.ops.augment import draw_background_volumes
+
+    vols = draw_background_volumes(k_vol, is_silent, cfg, is_training)
     keeps = jnp.where(is_silent, 0.0, 1.0).astype(jnp.float32)
 
     scalars = (shifts, clips, offs, vols, keeps)

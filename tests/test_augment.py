@@ -89,6 +89,64 @@ def test_mix_background_training_stats():
     assert 0.04 < mixed.mean() < 0.06  # U[0, 0.1) mean ~0.05
 
 
+def test_background_mix_version2_stats():
+    """v2 (augmentation_factory.py:81-95): silence rows mixed at U[0,1)
+    even at eval; non-silence rows behave as naive."""
+    batch = 8192
+    silent = jnp.asarray(np.arange(batch) % 2 == 0)
+    cfg = AugmentConfig(
+        background_frequency=0.8, background_max_volume=0.1,
+        naive_background_mix=False,
+    )
+    vols = np.asarray(
+        augment.draw_background_volumes(jax.random.key(5), silent, cfg, True)
+    )
+    s = np.asarray(silent)
+    # silence rows: U[0,1) -> mean ~0.5, max near 1
+    assert 0.47 < vols[s].mean() < 0.53
+    assert vols[s].max() > 0.99
+    # non-silence rows: naive stats
+    fore = vols[~s]
+    assert 0.75 < (fore > 0).mean() < 0.85
+    assert fore.max() <= 0.1 + 1e-6
+
+    # eval: silence rows STILL mixed, non-silence rows zero
+    vols_eval = np.asarray(
+        augment.draw_background_volumes(jax.random.key(6), silent, cfg, False)
+    )
+    assert 0.45 < vols_eval[s].mean() < 0.55
+    assert (vols_eval[~s] == 0).all()
+
+    # naive config: eval volumes all zero regardless of silence
+    naive = AugmentConfig(background_frequency=0.8, background_max_volume=0.1)
+    vols_naive = np.asarray(
+        augment.draw_background_volumes(jax.random.key(7), silent, naive, False)
+    )
+    assert (vols_naive == 0).all()
+
+
+def test_version2_end_to_end_silence_rows_get_noise():
+    """Through augment_batch, v2 silence rows contain scaled noise."""
+    batch, n = 64, 256
+    wavs = jnp.ones((batch, n), jnp.float32) * 0.5
+    silent = jnp.asarray([True] * 32 + [False] * 32)
+    noise = jnp.ones((2, 3 * n), jnp.float32)
+    cfg = AugmentConfig(
+        method="anchored_slice_or_pad", background_frequency=0.8,
+        background_max_volume=0.1, naive_background_mix=False,
+    )
+    out = np.asarray(
+        augment.augment_batch(wavs, silent, jax.random.key(8), cfg, noise, True)
+    )
+    # silence rows = volume * 1.0 noise, mostly nonzero and up to ~1
+    sil = out[:32]
+    assert (np.abs(sil).max(axis=1) > 0).mean() > 0.9
+    assert sil.max() > 0.8
+    # non-silence rows keep the 0.5 foreground plus <=0.1 noise
+    fore = out[32:]
+    assert fore.min() >= 0.5 - 1e-6 and fore.max() <= 0.6 + 1e-6
+
+
 def test_mix_background_eval_is_identity():
     wavs = jnp.asarray(np.random.default_rng(0).normal(size=(16, 100)).astype(np.float32))
     wavs = jnp.clip(wavs, -1, 1)

@@ -93,8 +93,13 @@ def test_oversample_balances():
     labels = [0] * 100 + [1] * 2
     of, ol = oversample(files, labels, oversampling_ratio=0.5)
     counts = {lb: ol.count(lb) for lb in set(ol)}
-    assert counts[0] == 100
-    assert counts[1] >= 40  # 2 -> ~50
+    # literal reference formula (data_wrapper_base.py:236-246):
+    # min_needed = 50; label 0: ratio=int(max(0.5,1)*5+0.5)=5 -> 100*5;
+    # label 1: ratio=int(25*5+0.5)=125 -> 2*125
+    assert counts[0] == 500
+    assert counts[1] == 250
+    # relative balance achieved: label 1 is at least min_needed
+    assert counts[1] >= 50
 
 
 def test_device_dataset_sampling():

@@ -41,7 +41,9 @@ def which_set(filename: str, validation_pct: float, testing_pct: float) -> str:
     base = Path(filename).name
     speaker = re.sub(r"_nohash_.*$", "", base)
     h = hashlib.sha1(speaker.encode()).hexdigest()
-    pct = (int(h, 16) % (MAX_PER_CLASS + 1)) * (100.0 / (MAX_PER_CLASS + 1))
+    # canonical formula: modulo (MAX+1) but scaled by 100/MAX (NOT MAX+1),
+    # so boundary files land in the same split as the published splitter
+    pct = (int(h, 16) % (MAX_PER_CLASS + 1)) * (100.0 / MAX_PER_CLASS)
     if pct < validation_pct:
         return "valid"
     if pct < validation_pct + testing_pct:
