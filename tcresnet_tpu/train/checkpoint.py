@@ -46,10 +46,14 @@ class CheckpointManager:
         self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
-        return self._mgr.latest_step()
+        steps = self.all_steps()
+        return steps[-1] if steps else None
 
     def all_steps(self) -> Sequence[int]:
-        return sorted(self._mgr.all_steps())
+        # read=True re-scans the directory: a watcher process creates its
+        # manager BEFORE the trainer process writes any checkpoint, and
+        # orbax's cached listing would stay empty forever.
+        return sorted(self._mgr.all_steps(read=True))
 
     def restore(self, state_like, step: Optional[int] = None):
         """Restore a full train state; `state_like` supplies the pytree

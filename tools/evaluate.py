@@ -44,6 +44,15 @@ def parse_args(argv=None):
     p.add_argument("--compute-dtype", default=None)
     p.add_argument("--num-silent", type=int, default=None)
     p.add_argument("--steps-per-call", type=int, default=None)
+    p.add_argument("--clip-duration-ms", type=int, default=None)
+    p.add_argument("--best-metric", default=None,
+                   help="once mode: load the promoted best checkpoint for "
+                        "this metric from <train-dir>/best/valid/<metric> "
+                        "(the reference's final test eval loaded "
+                        "valid/accuracy, scripts/commands/*.sh:7)")
+    p.add_argument("--device", choices=["auto", "cpu"], default="auto",
+                   help="cpu: pin to host CPU devices (loop evaluator "
+                        "alongside a training process on one chip)")
     return p.parse_args(argv)
 
 
@@ -56,15 +65,25 @@ def main(argv=None):
     from tcresnet_tpu.evaluation.watcher import WatchingEvaluator
     from tcresnet_tpu.parallel import make_mesh
     from tcresnet_tpu.utils import get_logger
+    from tools.train import select_devices
 
     log = get_logger("eval_cli")
-    mesh = make_mesh(cfg.mesh)
+    mesh = make_mesh(cfg.mesh, devices=select_devices(args.device))
     host = load_split(cfg, args.split)
     watcher = WatchingEvaluator(
         cfg, DeviceDataset(host, mesh), args.train_dir, mesh=mesh
     )
 
     if args.valid_type == "once":
+        if args.best_metric:
+            # reference final-eval pattern: load the best-valid promotion
+            from tcresnet_tpu.train.checkpoint import CheckpointManager
+
+            best_dir = Path(args.train_dir) / "best" / "valid" / args.best_metric
+            if not best_dir.exists():
+                raise SystemExit(f"No promoted best checkpoint at {best_dir}")
+            watcher.ckpt = CheckpointManager(best_dir)
+            log.info(f"Loading best-valid/{args.best_metric} from {best_dir}")
         step = args.step if args.step is not None else watcher.ckpt.latest_step()
         if step is None:
             raise SystemExit(f"No checkpoints under {args.train_dir}/ckpt")

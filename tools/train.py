@@ -62,6 +62,8 @@ def parse_args(argv=None):
                    help="split evaluated after training ('' to skip)")
     p.add_argument("--num-silent", type=int, default=None)
     p.add_argument("--steps-per-call", type=int, default=None)
+    p.add_argument("--step-save-checkpoint", type=int, default=None)
+    p.add_argument("--clip-duration-ms", type=int, default=None)
     # warm start / transfer (reference: --checkpoint_path + scope flags,
     # common/model_loader.py:42-83)
     p.add_argument("--checkpoint-path", default=None,
@@ -71,7 +73,23 @@ def parse_args(argv=None):
     p.add_argument("--ignore-missing-vars", action="store_true")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of the run here")
+    p.add_argument("--device", choices=["auto", "cpu"], default="auto",
+                   help="cpu: pin to host CPU devices (used by the "
+                        "orchestrator to keep the loop evaluator off the "
+                        "training chip)")
     return p.parse_args(argv)
+
+
+def select_devices(device: str):
+    """Returns the device list for the mesh; pins the default device when
+    forced to CPU (TPU plugins register regardless of JAX_PLATFORMS)."""
+    import jax
+
+    if device == "cpu":
+        cpus = jax.devices("cpu")
+        jax.config.update("jax_default_device", cpus[0])
+        return cpus
+    return None  # make_mesh default: all devices
 
 
 def build_config(args):
@@ -82,10 +100,15 @@ def build_config(args):
     for field, attr in [
         ("max_step", "max_step"), ("batch_size", "batch_size"), ("seed", "seed"),
         ("compute_dtype", "compute_dtype"),
+        ("step_save_checkpoint", "step_save_checkpoint"),
     ]:
-        v = getattr(args, attr)
+        v = getattr(args, attr, None)
         if v is not None:
             train_kw[field] = v
+    if getattr(args, "clip_duration_ms", None):
+        cfg = cfg.replace(
+            audio=dataclasses.replace(cfg.audio, clip_duration_ms=args.clip_duration_ms)
+        )
     if args.train_dir:
         train_kw["train_dir"] = args.train_dir  # expanded below, with cfg
     if train_kw:
@@ -149,7 +172,7 @@ def main(argv=None):
     from tcresnet_tpu.utils import get_logger
 
     log = get_logger("train_cli")
-    mesh = make_mesh(cfg.mesh)
+    mesh = make_mesh(cfg.mesh, devices=select_devices(args.device))
     log.info(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
 
     train_host = load_split(cfg, "train")
