@@ -19,6 +19,14 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "gsc: end-to-end accuracy gate on real Google Speech Commands "
+        "(requires GSC_ROOT)",
+    )
+
+
 @pytest.fixture(scope="session", autouse=True)
 def _force_cpu():
     """Pin default computation to CPU.
