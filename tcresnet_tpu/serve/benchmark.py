@@ -4,6 +4,17 @@ TPU-native equivalent of the vendored TF-Lite `benchmark_model` binary +
 run_benchmark.sh protocol (tflite_tools/run_benchmark.sh:9-23,42-49;
 README.md:100-108): 10 warmup runs + 50 timed runs, single stream,
 reporting count/first/min/max/avg/std in microseconds.
+
+Two measurement modes:
+  benchmark_compiled  — host-timed per-call protocol (the reference's
+      shape). Through the axon device tunnel every call pays a ~30 ms
+      round trip, so on tunneled hardware this measures the tunnel,
+      not the chip.
+  benchmark_on_device — tunnel-free: N inferences chained inside one
+      device-side fori_loop with a traced trip count; per-inference time
+      is the difference between two trip counts, which cancels the
+      round-trip, dispatch, and compile-cache costs entirely. This is
+      the number comparable to the reference's on-device `avg=...` line.
 """
 
 from __future__ import annotations
@@ -44,6 +55,54 @@ def benchmark_compiled(
         "avg": float(times.mean()),
         "std": float(times.std()),
     }
+
+
+def benchmark_on_device(
+    fn: Callable,
+    example,
+    warmup_runs: int = 10,
+    num_runs: int = 50,
+    chain_factor: int = 11,
+) -> Dict[str, float]:
+    """Device-side per-inference latency, free of host/tunnel overhead.
+
+    Runs `fn` `n` times inside a jitted `lax.fori_loop` whose trip count
+    is a traced argument (ONE compile covers every n). Each iteration's
+    input is a ~1-ulp perturbation of the example scaled by the previous
+    output's sum of squares — a true serial dependence, so XLA can
+    neither hoist the loop-invariant body nor eliminate it algebraically
+    (a plain `sum(dot(...))` reduction would be folded away). Latency is
+    (t(num_runs*chain_factor) - t(num_runs)) / (num_runs*(chain_factor-1)),
+    which cancels everything that is per-call rather than per-inference.
+
+    Returns {"count", "avg"} in microseconds; `avg` is the number
+    comparable to the reference's on-device benchmark line
+    (README.md:100-108).
+    """
+    import jax.numpy as jnp
+
+    x0 = jnp.asarray(example)
+
+    def body(_, carry):
+        x, acc = carry
+        out = fn(x)
+        s = jnp.sum(out.astype(jnp.float32) ** 2)
+        return x0 * (1.0 + 1e-12 * s), acc + s
+
+    @jax.jit
+    def run(n):
+        _, acc = jax.lax.fori_loop(0, n, body, (x0, jnp.float32(0.0)))
+        return acc
+
+    float(run(jnp.int32(warmup_runs)))  # compile + warm (forced fetch)
+    n1, n2 = num_runs, num_runs * chain_factor
+    t0 = time.perf_counter()
+    float(run(jnp.int32(n1)))
+    t1 = time.perf_counter()
+    float(run(jnp.int32(n2)))
+    t2 = time.perf_counter()
+    avg_us = ((t2 - t1) - (t1 - t0)) / (n2 - n1) * 1e6
+    return {"count": float(n2 - n1), "avg": avg_us}
 
 
 def format_report(stats: Dict[str, float]) -> str:

@@ -7,7 +7,11 @@ import numpy as np
 from tcresnet_tpu.config import AudioConfig, ExperimentConfig, ModelConfig
 from tcresnet_tpu.models import build_model
 from tcresnet_tpu.ops import dsp
-from tcresnet_tpu.serve.benchmark import benchmark_compiled, format_report
+from tcresnet_tpu.serve.benchmark import (
+    benchmark_compiled,
+    benchmark_on_device,
+    format_report,
+)
 from tcresnet_tpu.serve.export import (
     build_inference_fn,
     compile_inference,
@@ -85,3 +89,21 @@ def test_benchmark_protocol():
     assert stats["min"] > 0
     report = format_report(stats)
     assert "avg=" in report and "count=10" in report
+
+
+def test_benchmark_on_device_protocol():
+    """The tunnel-free fori_loop protocol returns a sane positive latency
+    and actually executes the inference fn (the carry forces it)."""
+    cfg = small_cfg()
+    model, variables = init_variables(cfg)
+    fn = build_inference_fn(cfg, variables)
+    wav = jnp.asarray(
+        np.random.default_rng(3)
+        .uniform(-1, 1, (1, cfg.audio.desired_samples))
+        .astype(np.float32)
+    )
+    dev = benchmark_on_device(fn, wav, warmup_runs=2, num_runs=5, chain_factor=21)
+    assert dev["count"] == 100
+    assert np.isfinite(dev["avg"])
+    # per-inference device time must be > 0 and far below a second
+    assert 0 < dev["avg"] < 1e6

@@ -50,7 +50,11 @@ def main(argv=None):
 
     from tcresnet_tpu.config import get_preset
     from tcresnet_tpu.ops import dsp
-    from tcresnet_tpu.serve.benchmark import benchmark_compiled, format_report
+    from tcresnet_tpu.serve.benchmark import (
+        benchmark_compiled,
+        benchmark_on_device,
+        format_report,
+    )
     from tcresnet_tpu.serve.export import (
         build_inference_fn,
         compile_inference,
@@ -118,7 +122,12 @@ def main(argv=None):
 
     if args.benchmark:
         stats = benchmark_compiled(compiled, x)
-        log.info(f"latency (us): {format_report(stats)}")
+        log.info(f"host-timed latency (us): {format_report(stats)}")
+        dev = benchmark_on_device(fn, x)
+        log.info(
+            f"device latency (us): count={dev['count']:.0f} "
+            f"avg={dev['avg']:.2f}  (tunnel-free, fori_loop-diffed)"
+        )
 
 
 if __name__ == "__main__":

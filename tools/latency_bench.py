@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Per-model compiled-inference latency sweep (real TPU).
+
+TPU analog of the reference's on-device benchmark run
+(tflite_tools/run_benchmark.sh + README.md:100-108, e.g. TCResNet14-1.5
+avg=5701.96 µs on a Pixel CPU): for each preset, AOT-compile the
+wav->softmax inference function at batch 1 and measure per-inference
+latency with the tunnel-free device-side fori_loop protocol
+(serve/benchmark.benchmark_on_device). Random-init params — latency does
+not depend on weight values.
+
+Usage:
+  python tools/latency_bench.py                      # all presets
+  python tools/latency_bench.py --models TCResNet8-1.0 Res15
+Prints one JSON line per model and a markdown table at the end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tcresnet_tpu.config import PRESETS, get_preset
+    from tcresnet_tpu.models import build_model, param_count
+    from tcresnet_tpu.ops import dsp
+    from tcresnet_tpu.serve.benchmark import benchmark_on_device
+    from tcresnet_tpu.serve.export import build_inference_fn
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--models", nargs="+", default=sorted(PRESETS))
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--num-runs", type=int, default=50)
+    p.add_argument("--include-preprocess", action="store_true", default=True)
+    p.add_argument("--features-only", dest="include_preprocess",
+                   action="store_false",
+                   help="benchmark features->softmax (no DSP front end)")
+    args = p.parse_args(argv)
+
+    rows = []
+    for name in args.models:
+        cfg = get_preset(name)
+        shape = dsp.feature_shape(cfg.audio)
+        model = build_model(cfg.model, shape, cfg.train.compute_dtype)
+        sample = jnp.zeros((2,) + shape, jnp.float32)
+        variables = model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            sample, training=True,
+        )
+        fn = build_inference_fn(
+            cfg, dict(variables), include_preprocess=args.include_preprocess
+        )
+        if args.include_preprocess:
+            in_shape = (args.batch_size, cfg.audio.desired_samples)
+        else:
+            in_shape = (args.batch_size,) + shape
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(-1, 1, in_shape).astype(np.float32))
+        dev = benchmark_on_device(fn, x, num_runs=args.num_runs)
+        row = {
+            "model": name,
+            "params": param_count(variables["params"]),
+            "input": "x".join(map(str, in_shape)),
+            "device_avg_us": round(dev["avg"], 2),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    print("\n| model | params | input | device avg µs |")
+    print("|---|---|---|---|")
+    for r in rows:
+        print(
+            f"| {r['model']} | {r['params']:,} | {r['input']} "
+            f"| {r['device_avg_us']:.2f} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
