@@ -100,6 +100,10 @@ class ModelConfig:
     # KWS-family architecture selector
     # (reference: factory/audio_nets.py:220-224)
     kws_architecture: str = "conv"
+    # BatchNorm running-stat decay override. None keeps each family's
+    # reference default (0.997 TC-ResNet/Res, 0.96 DS-CNN). Short runs
+    # (e.g. convergence tests) need a faster decay for usable eval stats.
+    bn_momentum: "float | None" = None
 
 
 @dataclass(frozen=True)

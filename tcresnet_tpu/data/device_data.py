@@ -28,8 +28,22 @@ from tcresnet_tpu.data.speech_commands import HostDataset
 from tcresnet_tpu.parallel import mesh as meshlib
 
 
+def _next_pow2(x: int) -> int:
+    p = 128  # minimum one lane row
+    while p < x:
+        p *= 2
+    return p
+
+
 class DeviceDataset:
-    """Device-resident split with in-jit batch sampling."""
+    """Device-resident split with in-jit batch sampling.
+
+    Wavs are stored as [N, P/128, 128] int16 with P = next power of two
+    >= the clip length: the layout the fused gather+augment kernel
+    (ops/pallas/augment.fused_gather_augment) DMAs rows from directly, so
+    a train batch is never materialized as a separate array. `clip_len`
+    records the true sample count; trailing P-clip_len samples are zero.
+    """
 
     def __init__(self, host: HostDataset, mesh: Optional[Mesh] = None):
         self.label_names = host.label_names
@@ -49,7 +63,11 @@ class DeviceDataset:
         else:
             put = jnp.asarray
 
-        self.wavs = put(host.wavs)  # [N, S] int16
+        n, self.clip_len = host.wavs.shape[0], host.wavs.shape[1]
+        p = _next_pow2(self.clip_len)
+        padded = np.zeros((n, p), np.int16)
+        padded[:, : self.clip_len] = host.wavs
+        self.wavs = put(padded.reshape(n, p // 128, 128))  # [N, P/128, 128] int16
         self.labels = put(host.labels)  # [N] int32
         self.is_silent = put(host.is_silent)  # [N] bool
         self.noise_bank = (
@@ -63,39 +81,69 @@ class DeviceDataset:
         return self.wavs, self.labels, self.is_silent
 
     @staticmethod
-    def sample_batch(
+    def decode_rows(
+        wavs3d: jnp.ndarray, idx: jnp.ndarray, clip_len: Optional[int] = None
+    ) -> jnp.ndarray:
+        """[N, P/128, 128] int16 rows -> [B, clip_len] float32 in [-1, 1)."""
+        rows = wavs3d[idx]
+        p = rows.shape[1] * rows.shape[2]
+        flat = rows.reshape(rows.shape[0], p)
+        if clip_len is not None and clip_len != p:
+            flat = flat[:, :clip_len]
+        return flat.astype(jnp.float32) * (1.0 / 32768.0)
+
+    @staticmethod
+    def sample_indices(
         arrays: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
         key: jax.Array,
         batch_size: int,
         mesh: Optional[Mesh] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """Draw a uniform-with-replacement batch ON DEVICE.
+        """Draw uniform-with-replacement batch INDICES on device.
 
-        Returns (wavs[B,S] float32 in [-1,1), labels[B] int32,
-        is_silent[B] bool). Pure function — call inside jit.
+        Returns (idx[B] int32, labels[B] int32, is_silent[B] bool) —
+        wav rows stay in the HBM dataset; the fused gather+augment kernel
+        reads them directly by index. Pure function — call inside jit.
         """
         wavs, labels, is_silent = arrays
         n = wavs.shape[0]
         idx = jax.random.randint(key, (batch_size,), 0, n)
-        batch = (
-            wavs[idx].astype(jnp.float32) * (1.0 / 32768.0),
-            labels[idx],
-            is_silent[idx],
-        )
+        batch = (idx, labels[idx], is_silent[idx])
         if mesh is not None:
             batch = meshlib.shard_batch(mesh, batch)
         return batch
+
+    @staticmethod
+    def sample_batch(
+        arrays: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+        key: jax.Array,
+        batch_size: int,
+        mesh: Optional[Mesh] = None,
+        clip_len: Optional[int] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Draw a uniform-with-replacement batch ON DEVICE.
+
+        Returns (wavs[B,clip_len] float32 in [-1,1), labels[B] int32,
+        is_silent[B] bool). Pure function — call inside jit. Prefer
+        sample_indices + the fused gather+augment kernel on TPU; this
+        materializes the decoded batch.
+        """
+        idx, lab, sil = DeviceDataset.sample_indices(
+            arrays, key, batch_size, mesh
+        )
+        return DeviceDataset.decode_rows(arrays[0], idx, clip_len), lab, sil
 
     @staticmethod
     def gather_batch(
         arrays: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
         idx: jnp.ndarray,
         mesh: Optional[Mesh] = None,
+        clip_len: Optional[int] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Gather an explicit index batch (deterministic eval)."""
         wavs, labels, is_silent = arrays
         batch = (
-            wavs[idx].astype(jnp.float32) * (1.0 / 32768.0),
+            DeviceDataset.decode_rows(wavs, idx, clip_len),
             labels[idx],
             is_silent[idx],
         )

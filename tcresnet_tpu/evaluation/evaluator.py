@@ -57,7 +57,9 @@ class Evaluator:
     def _eval_step(self, params, batch_stats, arrays, idx):
         # arrays are jit ARGUMENTS (closing over them would bake GB-scale
         # HBM datasets into the compiled HLO as constants)
-        wavs, labels, silent = DeviceDataset.gather_batch(arrays, idx, self.mesh)
+        wavs, labels, silent = DeviceDataset.gather_batch(
+            arrays, idx, self.mesh, clip_len=self.cfg.audio.desired_samples
+        )
         # Eval-mode augmentation: silence rows zeroed, no shift, no noise
         # (eval scripts pass background_frequency 0.0).
         wavs = jnp.where(silent[:, None], 0.0, wavs)

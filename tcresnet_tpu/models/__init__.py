@@ -35,7 +35,8 @@ def build_model(
 def _tcresnet8(cfg, shape, dtype):
     return tc_resnet.tc_resnet8(
         cfg.num_classes, cfg.width_multiplier,
-        dropout_keep_prob=cfg.dropout_keep_prob, dtype=dtype,
+        dropout_keep_prob=cfg.dropout_keep_prob, bn_momentum=cfg.bn_momentum,
+        dtype=dtype,
     )
 
 
@@ -43,7 +44,8 @@ def _tcresnet8(cfg, shape, dtype):
 def _tcresnet14(cfg, shape, dtype):
     return tc_resnet.tc_resnet14(
         cfg.num_classes, cfg.width_multiplier,
-        dropout_keep_prob=cfg.dropout_keep_prob, dtype=dtype,
+        dropout_keep_prob=cfg.dropout_keep_prob, bn_momentum=cfg.bn_momentum,
+        dtype=dtype,
     )
 
 
@@ -51,7 +53,8 @@ def _tcresnet14(cfg, shape, dtype):
 def _resnet2d8(cfg, shape, dtype):
     return tc_resnet.resnet2d8(
         cfg.num_classes, cfg.width_multiplier, num_coeffs=shape[1],
-        dropout_keep_prob=cfg.dropout_keep_prob, dtype=dtype,
+        dropout_keep_prob=cfg.dropout_keep_prob, bn_momentum=cfg.bn_momentum,
+        dtype=dtype,
     )
 
 
@@ -59,43 +62,44 @@ def _resnet2d8(cfg, shape, dtype):
 def _resnet2d8_pool(cfg, shape, dtype):
     return tc_resnet.resnet2d8_pool(
         cfg.num_classes, cfg.width_multiplier, num_coeffs=shape[1],
-        dropout_keep_prob=cfg.dropout_keep_prob, dtype=dtype,
+        dropout_keep_prob=cfg.dropout_keep_prob, bn_momentum=cfg.bn_momentum,
+        dtype=dtype,
     )
 
 
 @MODELS.register("Res8")
 def _res8(cfg, shape, dtype):
-    return res.res8(cfg.num_classes, dtype=dtype)
+    return res.res8(cfg.num_classes, bn_momentum=cfg.bn_momentum, dtype=dtype)
 
 
 @MODELS.register("Res8Narrow")
 def _res8n(cfg, shape, dtype):
-    return res.res8_narrow(cfg.num_classes, dtype=dtype)
+    return res.res8_narrow(cfg.num_classes, bn_momentum=cfg.bn_momentum, dtype=dtype)
 
 
 @MODELS.register("Res15")
 def _res15(cfg, shape, dtype):
-    return res.res15(cfg.num_classes, dtype=dtype)
+    return res.res15(cfg.num_classes, bn_momentum=cfg.bn_momentum, dtype=dtype)
 
 
 @MODELS.register("Res15Narrow")
 def _res15n(cfg, shape, dtype):
-    return res.res15_narrow(cfg.num_classes, dtype=dtype)
+    return res.res15_narrow(cfg.num_classes, bn_momentum=cfg.bn_momentum, dtype=dtype)
 
 
 @MODELS.register("DSCNNS")
 def _dscnns(cfg, shape, dtype):
-    return ds_cnn.dscnn_s(cfg.num_classes, dtype=dtype)
+    return ds_cnn.dscnn_s(cfg.num_classes, bn_momentum=cfg.bn_momentum, dtype=dtype)
 
 
 @MODELS.register("DSCNNM")
 def _dscnnm(cfg, shape, dtype):
-    return ds_cnn.dscnn_m(cfg.num_classes, dtype=dtype)
+    return ds_cnn.dscnn_m(cfg.num_classes, bn_momentum=cfg.bn_momentum, dtype=dtype)
 
 
 @MODELS.register("DSCNNL")
 def _dscnnl(cfg, shape, dtype):
-    return ds_cnn.dscnn_l(cfg.num_classes, dtype=dtype)
+    return ds_cnn.dscnn_l(cfg.num_classes, bn_momentum=cfg.bn_momentum, dtype=dtype)
 
 
 @MODELS.register("KWS")

@@ -60,11 +60,12 @@ L_NET_DEF = (
 class DSCNN(nn.Module):
     num_classes: int
     net_def: Tuple[Block, ...]
+    bn_momentum: Optional[float] = None  # None -> reference decay 0.96
     dtype: Optional[Any] = None
 
     def _bn_relu(self, x, name: str, training: bool):
         x = layers.slim_batch_norm(
-            x, training=training, name=name, momentum=0.96,
+            x, training=training, name=name, momentum=self.bn_momentum or 0.96,
             center=True, scale=False, dtype=self.dtype,
         )
         return nn.relu(x)

@@ -30,6 +30,7 @@ class ResKWS(nn.Module):
     num_channels: int
     pool_size: Optional[tuple] = None  # e.g. (4, 3)
     use_dilation: bool = False
+    bn_momentum: Optional[float] = None  # None -> reference decay 0.997
     dtype: Optional[Any] = None
 
     def _conv_relu(self, x, idx: int, training: bool):
@@ -51,7 +52,7 @@ class ResKWS(nn.Module):
             x,
             training=training,
             name=name,
-            momentum=0.997,
+            momentum=self.bn_momentum or 0.997,
             center=False,
             scale=False,
             dtype=self.dtype,

@@ -40,6 +40,7 @@ class TCResNet(nn.Module):
     debug_2d: bool = False
     pool: Optional[Tuple[Tuple[int, int], int]] = None  # (window, stride)
     dropout_keep_prob: float = 0.5
+    bn_momentum: Optional[float] = None  # None -> reference decay 0.997
     dtype: Optional[Any] = None
 
     def _conv_bn(self, x, features, kernel, stride, name, training, relu=True):
@@ -47,7 +48,8 @@ class TCResNet(nn.Module):
             x, features, kernel, stride, name=f"{name}_conv", dtype=self.dtype
         )
         x = layers.slim_batch_norm(
-            x, training=training, name=f"{name}_bn", momentum=0.997, dtype=self.dtype
+            x, training=training, name=f"{name}_bn",
+            momentum=self.bn_momentum or 0.997, dtype=self.dtype,
         )
         return nn.relu(x) if relu else x
 

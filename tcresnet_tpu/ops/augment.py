@@ -230,6 +230,53 @@ def augment(
     return augment_batch(wavs, is_silent, key, cfg, noise_bank, is_training)
 
 
+def augment_gathered(
+    wavs3d: jnp.ndarray,
+    idx: jnp.ndarray,
+    is_silent: jnp.ndarray,
+    key: jax.Array,
+    cfg: AugmentConfig,
+    noise_bank: Optional[jnp.ndarray],
+    is_training: bool,
+    clip_len: int,
+    platform: Optional[str] = None,
+) -> jnp.ndarray:
+    """Backend-dispatching gather+augment over the HBM-resident dataset.
+
+    `wavs3d` is DeviceDataset's [N, P/128, 128] int16 storage and `idx[B]`
+    the batch row indices. On TPU (backend "auto"/"pallas", geometry
+    permitting) the row gather, int16 decode, and the full augmentation
+    run in one Pallas kernel pass — the batch never round-trips through
+    HBM as a separate array. Elsewhere (or when the geometry is
+    unsupported) the rows are gathered by XLA and fed to augment_batch —
+    bit-identical results either way given the same key.
+    """
+    if platform is None:
+        platform = jax.default_backend()
+    backend = getattr(cfg, "backend", "auto")
+    use_pallas = backend == "pallas" or (backend == "auto" and platform == "tpu")
+    if use_pallas:
+        from tcresnet_tpu.ops.pallas.augment import (
+            fused_gather_augment,
+            gather_fusable,
+        )
+
+        if gather_fusable(wavs3d, cfg, noise_bank, clip_len):
+            return fused_gather_augment(
+                wavs3d, idx, is_silent, key, cfg, noise_bank,
+                is_training, clip_len,
+            )
+    rows = wavs3d[idx]
+    p = rows.shape[1] * rows.shape[2]
+    wavs = (
+        rows.reshape(idx.shape[0], p)[:, :clip_len].astype(jnp.float32)
+        * (1.0 / 32768.0)
+    )
+    return augment(
+        wavs, is_silent, key, cfg, noise_bank, is_training, platform=platform
+    )
+
+
 def augment_batch(
     wavs: jnp.ndarray,
     is_silent: jnp.ndarray,

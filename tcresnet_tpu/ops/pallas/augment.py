@@ -170,16 +170,8 @@ def _fused_augment_impl(wavs, scalars, noise_bank, n, interpret, quantize_crops=
     # 2D noise bank [rows, 128]; crop windows are DMA'd at 8-row
     # (1024-sample) granularity. Scratch rows = pow2 >= window rows so the
     # remainder roll (exact mode) can use the 2D decomposition.
-    window = ((n + _ALIGN) + _ALIGN - 1) // _ALIGN * _ALIGN
-    win_rows = window // _LANES
+    noise2d, stride, win_rows = _noise_bank_2d(noise_bank, n)
     scratch_rows = _next_pow2(win_rows)
-    k_clips, clip_len = noise_bank.shape
-    stride = clip_len + _ALIGN + window
-    stride += (-stride) % _ALIGN
-    noise2d = (
-        jnp.pad(noise_bank, ((0, 0), (0, stride - clip_len)))
-        .reshape(-1, _LANES)
-    )
 
     off_aligned = (offs // _ALIGN) * _ALIGN
     if quantize_crops:
@@ -226,6 +218,256 @@ def _fused_augment_impl(wavs, scalars, noise_bank, n, interpret, quantize_crops=
     return out.reshape(padded_b, p)[:batch, :n]
 
 
+def _kernel_gather(
+    *refs,
+    p: int,          # padded row length (pow2)
+    win_rows: int,   # DMA window height (multiple of 8)
+    crop_rolls: bool,
+    scale: float,    # int16 -> [-1, 1) decode scale
+):
+    """v5 body. Ref layout (TB rows per grid step):
+
+    refs[0:6]   scalar prefetch: shift/srow/rem/vol/keep [B] + idx[B]
+                (idx is consumed by the wav BlockSpec index maps — the
+                dataset-row gather rides the pipelined block fetch, no
+                materialized batch array)
+    refs[6:6+TB]      TB wav blocks [1, A, 128] int16, row idx[i*TB+r]
+                      (one index-mapped spec per row, each independently
+                      double-buffered by the Pallas pipeline)
+    refs[6+TB]        noise bank [rows, 128] f32 in HBM/ANY
+    refs[7+TB]        out block [TB, A, 128] f32
+    refs[8+TB:]       TB crop scratches [WR, 128] f32 + DMA sem [TB]
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    shift_ref, srow_ref, rem_ref, vol_ref, keep_ref, _idx_ref = refs[:6]
+    wav_refs = refs[6 : 6 + _TB]
+    noise_ref = refs[6 + _TB]
+    out_ref = refs[7 + _TB]
+    scratches = refs[8 + _TB : 8 + 2 * _TB]
+    sem = refs[8 + 2 * _TB]
+
+    i = pl.program_id(0)
+    a_rows = p // _LANES
+
+    def crop_dma(r):
+        start = pl.multiple_of(srow_ref[i * _TB + r], 8)
+        return pltpu.make_async_copy(
+            noise_ref.at[pl.ds(start, win_rows)],
+            scratches[r].at[pl.ds(0, win_rows)],
+            sem.at[r],
+        )
+
+    for r in range(_TB):
+        crop_dma(r).start()
+
+    pos = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, a_rows, _LANES), 1) * _LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (1, a_rows, _LANES), 2)
+    )
+
+    # per-row decode + shift while the crop DMAs fly
+    for r in range(_TB):
+        b = i * _TB + r
+        wav = wav_refs[r][:].astype(jnp.float32) * scale
+        s_signed = shift_ref[b]
+        s = jax.lax.rem(s_signed + p, p)  # [0, p)
+        rolled = _roll_flat_2d(wav, s, pltpu)
+        valid = (pos >= s_signed) & (pos < p + s_signed)
+        out_ref[r : r + 1] = rolled * valid.astype(jnp.float32) * keep_ref[b]
+
+    # per-row crop mix + clip
+    for r in range(_TB):
+        b = i * _TB + r
+        crop_dma(r).wait()
+        sc3 = scratches[r][:, :].reshape(1, *scratches[r].shape)
+        if crop_rolls:
+            total = scratches[r].shape[0] * _LANES
+            sc3 = _roll_flat_2d(
+                sc3, jax.lax.rem(-rem_ref[b] + total, total), pltpu
+            )
+        crop = sc3[:, :a_rows, :]
+        out_ref[r : r + 1] = jnp.clip(
+            out_ref[r : r + 1] + vol_ref[b] * crop, -1.0, 1.0
+        )
+
+
+def _noise_bank_2d(noise_bank, n):
+    """[K, L] noise bank -> ([rows, 128] matrix, row stride) for 8-row DMA."""
+    k_clips, clip_len = noise_bank.shape
+    window = ((n + _ALIGN) + _ALIGN - 1) // _ALIGN * _ALIGN
+    win_rows = window // _LANES
+    stride = clip_len + _ALIGN + window
+    stride += (-stride) % _ALIGN
+    noise2d = (
+        jnp.pad(noise_bank, ((0, 0), (0, stride - clip_len))).reshape(-1, _LANES)
+    )
+    return noise2d, stride, win_rows
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _fused_gather_augment_impl(
+    wavs3d, idx, scalars, noise_bank, n, interpret, quantize_crops=False
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    shifts, clips, offs, vols, keeps = scalars
+    batch = idx.shape[0]
+    _, a_rows, lanes = wavs3d.shape
+    assert lanes == _LANES
+    p = a_rows * _LANES
+    assert p == _next_pow2(p), "dataset rows must be pow2-padded"
+
+    pad_b = (-batch) % _TB
+    if pad_b:
+        idx = jnp.pad(idx, (0, pad_b))
+        shifts, clips, offs, vols, keeps = (
+            jnp.pad(a, (0, pad_b)) for a in (shifts, clips, offs, vols, keeps)
+        )
+    padded_b = idx.shape[0]
+
+    noise2d, stride, win_rows = _noise_bank_2d(noise_bank, n)
+    scratch_rows = _next_pow2(max(win_rows, a_rows))
+    off_aligned = (offs // _ALIGN) * _ALIGN
+    if quantize_crops:
+        rems = jnp.zeros_like(off_aligned, jnp.int32)
+    else:
+        rems = (offs - off_aligned).astype(jnp.int32)
+    start_rows = ((clips * stride + off_aligned) // _LANES).astype(jnp.int32)
+
+    def wav_spec(r):
+        # block (1, A, 128) = dataset row idx[i*TB + r]; the index map
+        # reads the prefetched idx so the gather IS the block fetch
+        return pl.BlockSpec(
+            (1, a_rows, _LANES),
+            lambda i, shift, srow, rem, vol, keep, idx_r: (
+                idx_r[i * _TB + r],
+                0,
+                0,
+            ),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(padded_b // _TB,),
+        in_specs=[wav_spec(r) for r in range(_TB)]
+        + [pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (_TB, a_rows, _LANES), lambda i, *_: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((scratch_rows, _LANES), jnp.float32) for _ in range(_TB)
+        ]
+        + [pltpu.SemaphoreType.DMA((_TB,))],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_gather,
+            p=p,
+            win_rows=win_rows,
+            crop_rolls=not quantize_crops,
+            scale=1.0 / 32768.0,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((padded_b, a_rows, _LANES), jnp.float32),
+        interpret=interpret,
+    )(
+        shifts.astype(jnp.int32),
+        start_rows,
+        rems,
+        vols.astype(jnp.float32),
+        keeps.astype(jnp.float32),
+        idx.astype(jnp.int32),
+        *([wavs3d] * _TB),
+        noise2d,
+    )
+    return out.reshape(padded_b, p)[:batch, :n]
+
+
+def _draw_scalars(key, is_silent, cfg, noise_bank, n, is_training):
+    """Per-row augmentation draws shared by both fused kernels."""
+    batch = is_silent.shape[0]
+    k_shift, k_idx, k_off, k_vol = jax.random.split(key, 4)
+    max_shift = int(n * cfg.shift_ratio)
+    if cfg.method == "anchored_slice_or_pad_with_shift" and max_shift > 0:
+        shifts = jax.random.randint(k_shift, (batch,), -max_shift, max_shift)
+    else:
+        shifts = jnp.zeros((batch,), jnp.int32)
+
+    k_clips, clip_len = noise_bank.shape
+    clips = jax.random.randint(k_idx, (batch,), 0, k_clips)
+    offs = jax.random.randint(k_off, (batch,), 0, clip_len - n + 1)
+    from tcresnet_tpu.ops.augment import draw_background_volumes
+
+    vols = draw_background_volumes(k_vol, is_silent, cfg, is_training)
+    keeps = jnp.where(is_silent, 0.0, 1.0).astype(jnp.float32)
+    return shifts, clips, offs, vols, keeps
+
+
+def gather_fusable(
+    wavs3d: jnp.ndarray,
+    cfg: AugmentConfig,
+    noise_bank: Optional[jnp.ndarray],
+    n: int,
+) -> bool:
+    """Whether fused_gather_augment supports this dataset/config."""
+    if wavs3d.ndim != 3 or wavs3d.dtype != jnp.int16:
+        return False
+    _, a_rows, lanes = wavs3d.shape
+    p = a_rows * lanes
+    return (
+        cfg.method != "no_augmentation_audio"
+        and noise_bank is not None
+        and noise_bank.shape[0] > 0
+        and n % _LANES == 0
+        and lanes == _LANES
+        and p == _next_pow2(p)
+        and a_rows % 16 == 0  # int16 VMEM tiling needs 16-row blocks
+    )
+
+
+def fused_gather_augment(
+    wavs3d: jnp.ndarray,
+    idx: jnp.ndarray,
+    is_silent: jnp.ndarray,
+    key: jax.Array,
+    cfg: AugmentConfig,
+    noise_bank: jnp.ndarray,
+    is_training: bool,
+    n: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Gather + decode + shift + background mix + clip in ONE kernel pass.
+
+    `wavs3d` is the HBM-resident dataset as [N, p/128, 128] int16 with p a
+    power of two (DeviceDataset's storage layout); `idx[B]` selects the
+    batch rows. The row fetch rides the kernel's pipelined block DMA (the
+    BlockSpec index map reads the prefetched idx), so the batch is never
+    materialized as a separate [B, n] array — the v4 path required an XLA
+    gather (HBM read + write) plus a kernel read; this reads each dataset
+    row from HBM exactly once. Callers must check gather_fusable() first
+    (ops/augment.augment_gathered does, with an XLA fallback).
+
+    Bit-exact vs gathering rows and calling fused_augment/augment_batch
+    with the same key (tests/test_pallas.py).
+    """
+    assert gather_fusable(wavs3d, cfg, noise_bank, n), "check gather_fusable()"
+    scalars = _draw_scalars(key, is_silent, cfg, noise_bank, n, is_training)
+    return _fused_gather_augment_impl(
+        wavs3d,
+        idx,
+        scalars,
+        noise_bank,
+        n,
+        interpret,
+        bool(getattr(cfg, "noise_crop_quantize", False)),
+    )
+
+
 def fused_augment(
     wavs: jnp.ndarray,
     is_silent: jnp.ndarray,
@@ -249,22 +491,7 @@ def fused_augment(
             wavs, is_silent, key, cfg, noise_bank, is_training
         )
 
-    k_shift, k_idx, k_off, k_vol = jax.random.split(key, 4)
-    max_shift = int(n * cfg.shift_ratio)
-    if cfg.method == "anchored_slice_or_pad_with_shift" and max_shift > 0:
-        shifts = jax.random.randint(k_shift, (batch,), -max_shift, max_shift)
-    else:
-        shifts = jnp.zeros((batch,), jnp.int32)
-
-    k_clips, clip_len = noise_bank.shape
-    clips = jax.random.randint(k_idx, (batch,), 0, k_clips)
-    offs = jax.random.randint(k_off, (batch,), 0, clip_len - n + 1)
-    from tcresnet_tpu.ops.augment import draw_background_volumes
-
-    vols = draw_background_volumes(k_vol, is_silent, cfg, is_training)
-    keeps = jnp.where(is_silent, 0.0, 1.0).astype(jnp.float32)
-
-    scalars = (shifts, clips, offs, vols, keeps)
+    scalars = _draw_scalars(key, is_silent, cfg, noise_bank, n, is_training)
     return _fused_augment_impl(
         wavs.astype(jnp.float32),
         scalars,

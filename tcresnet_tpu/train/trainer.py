@@ -261,12 +261,16 @@ class Trainer:
         step_key = jax.random.fold_in(base, state.step)
         k_sample, k_aug, k_drop = jax.random.split(step_key, 3)
 
-        raw_wavs, labels, silent = DeviceDataset.sample_batch(
+        idx, labels, silent = DeviceDataset.sample_indices(
             arrays, k_sample, cfg.train.batch_size, self.mesh
         )
-        wavs = aug.augment(
-            raw_wavs, silent, k_aug, cfg.augment, noise_bank,
-            is_training=True, platform=self.platform,
+        # gather + int16 decode + augmentation fuse into one kernel pass
+        # on TPU (ops/pallas/augment.fused_gather_augment); the batch is
+        # never materialized as a separate [B, n] array in HBM
+        wavs = aug.augment_gathered(
+            arrays[0], idx, silent, k_aug, cfg.augment, noise_bank,
+            is_training=True, clip_len=cfg.audio.desired_samples,
+            platform=self.platform,
         )
         batch = (wavs, labels, silent)
 
@@ -415,7 +419,9 @@ class Trainer:
 
         key = jax.random.fold_in(jax.random.key(self.cfg.train.seed + 2), step)
         k1, k2 = jax.random.split(key)
-        wavs, _, silent = DeviceDataset.sample_batch(self.data.arrays, k1, 4)
+        wavs, _, silent = DeviceDataset.sample_batch(
+            self.data.arrays, k1, 4, clip_len=self.cfg.audio.desired_samples
+        )
         noise = self.data.noise_bank
         wavs = aug.augment(
             wavs, silent, k2, self.cfg.augment, noise, True, platform=self.platform
@@ -438,7 +444,8 @@ class Trainer:
             # HLO as constants and stall compilation.
             def eval_batch(state, arrays, key):
                 wavs, labels, silent = DeviceDataset.sample_batch(
-                    arrays, key, self.cfg.data.eval_batch_size, self.mesh
+                    arrays, key, self.cfg.data.eval_batch_size, self.mesh,
+                    clip_len=self.cfg.audio.desired_samples,
                 )
                 wavs = jnp.where(silent[:, None], 0.0, wavs)
                 feats = dsp.preprocess(wavs, self.cfg.audio)

@@ -3,6 +3,7 @@
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -105,7 +106,17 @@ def test_oversample_balances():
 def test_device_dataset_sampling():
     host = make_synthetic_dataset(num_samples=64, num_classes=4, desired_samples=800)
     dd = DeviceDataset(host)
-    wavs, labels, silent = DeviceDataset.sample_batch(dd.arrays, jax.random.key(0), 16)
+    # int16 rows stored pow2-padded as [N, P/128, 128] for the fused
+    # gather+augment kernel; decode recovers the exact original samples
+    assert dd.clip_len == 800
+    assert dd.wavs.shape == (64, 1024 // 128, 128) and dd.wavs.dtype == np.int16
+    dec = DeviceDataset.decode_rows(dd.arrays[0], jnp.arange(64), 800)
+    np.testing.assert_array_equal(
+        np.asarray(dec), host.wavs.astype(np.float32) / 32768.0
+    )
+    wavs, labels, silent = DeviceDataset.sample_batch(
+        dd.arrays, jax.random.key(0), 16, clip_len=800
+    )
     assert wavs.shape == (16, 800) and wavs.dtype == np.float32
     assert labels.shape == (16,) and silent.shape == (16,)
     w = np.asarray(wavs)

@@ -103,3 +103,79 @@ def test_fallback_paths(rng):
     silent = jnp.asarray([True, False, False, False])
     out = np.asarray(fused_augment(wavs, silent, jax.random.key(0), cfg, None, True))
     assert (out[0] == 0).all() and (out[1:] == 1).all()
+
+
+def _gather_fused_case(rng, n, p, batch=16, num_rows=32):
+    """Build an int16 [N, p/128, 128] dataset + draws for the v5 kernel."""
+    data = np.zeros((num_rows, p), np.int16)
+    data[:, :n] = rng.integers(-32768, 32768, (num_rows, n)).astype(np.int16)
+    wavs3d = jnp.asarray(data.reshape(num_rows, p // 128, 128))
+    idx = jnp.asarray(rng.integers(0, num_rows, batch), jnp.int32)
+    silent = jnp.asarray(rng.integers(0, 4, batch) == 0)
+    noise = jnp.asarray(rng.normal(size=(3, 3 * n)).astype(np.float32) * 0.1)
+    decoded = jnp.asarray(
+        data[np.asarray(idx), :n].astype(np.float32) / 32768.0
+    )
+    return wavs3d, idx, silent, noise, decoded
+
+
+def test_gather_fused_matches_gather_then_augment(rng):
+    """v5 (gather+decode+augment in-kernel) must be bit-exact vs gathering
+    the rows and running the v4 kernel with the same key."""
+    from tcresnet_tpu.ops.pallas.augment import fused_gather_augment, gather_fusable
+
+    cfg = AugmentConfig(background_frequency=0.8, background_max_volume=0.3)
+    n = 2048
+    wavs3d, idx, silent, noise, decoded = _gather_fused_case(rng, n, p=n)
+    assert gather_fusable(wavs3d, cfg, noise, n)
+    key = jax.random.key(42)
+    got = np.asarray(
+        fused_gather_augment(
+            wavs3d, idx, silent, key, cfg, noise, True, n, interpret=True
+        )
+    )
+    want = np.asarray(
+        fused_augment(decoded, silent, key, cfg, noise, True, interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_gather_fused_padded_rows(rng):
+    """Clip length below the pow2 row padding (n=2176 in p=4096 rows)."""
+    from tcresnet_tpu.ops.pallas.augment import fused_gather_augment, gather_fusable
+
+    cfg = AugmentConfig(background_frequency=1.0, background_max_volume=0.2)
+    n = 2176
+    wavs3d, idx, silent, noise, decoded = _gather_fused_case(rng, n, p=4096)
+    assert gather_fusable(wavs3d, cfg, noise, n)
+    key = jax.random.key(7)
+    got = np.asarray(
+        fused_gather_augment(
+            wavs3d, idx, silent, key, cfg, noise, True, n, interpret=True
+        )
+    )
+    want = np.asarray(
+        fused_augment(decoded, silent, key, cfg, noise, True, interpret=True)
+    )
+    assert got.shape == (16, n)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_augment_gathered_dispatch_fallback(rng):
+    """ops.augment.augment_gathered on a non-TPU platform must equal
+    decoding the rows and calling the XLA augment path."""
+    from tcresnet_tpu.ops import augment as xla_augment
+
+    cfg = AugmentConfig(background_frequency=0.5, background_max_volume=0.1)
+    n = 2048
+    wavs3d, idx, silent, noise, decoded = _gather_fused_case(rng, n, p=n)
+    key = jax.random.key(3)
+    got = np.asarray(
+        xla_augment.augment_gathered(
+            wavs3d, idx, silent, key, cfg, noise, True, n, platform="cpu"
+        )
+    )
+    want = np.asarray(
+        xla_augment.augment_batch(decoded, silent, key, cfg, noise, True)
+    )
+    np.testing.assert_array_equal(got, want)

@@ -90,12 +90,26 @@ def main(argv=None):
     def make_stage_body(batch, stage):
         cfg = cfg0
 
+        clip = cfg.audio.desired_samples
+
         def factory(arrs, nz):
             def body(i, acc):
                 key = jax.random.fold_in(jax.random.key(7), i)
                 ks, ka = jax.random.split(key)
+                if stage in ("gather_augment", "gather_augment_mfcc"):
+                    # v5: gather+decode+augment in one kernel pass
+                    idx, labels, silent = DeviceDataset.sample_indices(
+                        arrs, ks, batch, mesh
+                    )
+                    x = aug.augment_gathered(
+                        arrs[0], idx, silent, ka, cfg.augment, nz,
+                        is_training=True, clip_len=clip, platform=platform,
+                    )
+                    if stage == "gather_augment_mfcc":
+                        x = dsp.preprocess(x, cfg.audio)
+                    return acc + jnp.sum(x.astype(jnp.float32) ** 2)
                 wavs, labels, silent = DeviceDataset.sample_batch(
-                    arrs, ks, batch, mesh
+                    arrs, ks, batch, mesh, clip_len=clip
                 )
                 x = wavs
                 if stage in ("augment", "augment_xla", "mfcc", "mfcc_pallas"):
