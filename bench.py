@@ -43,6 +43,8 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("--steps-per-call", type=int, default=50)
+    p.add_argument("--dsp-backend", default="auto",
+                   choices=["xla", "pallas", "auto"])
     args = p.parse_args(argv)
 
     cfg = get_preset("TCResNet8-1.0")
@@ -53,7 +55,8 @@ def main(argv=None):
     cfg = cfg.replace(
         train=dataclasses.replace(
             cfg.train, batch_size=batch, max_step=10**9, compute_dtype=args.dtype
-        )
+        ),
+        audio=dataclasses.replace(cfg.audio, dsp_backend=args.dsp_backend),
     )
 
     # Speech-Commands-scale dataset resident in HBM (24k utterances).

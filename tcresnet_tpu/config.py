@@ -37,6 +37,14 @@ class AudioConfig:
     # compute-bound fp32, bit-exact agreement); pallas costs one extra
     # ~2.5-min kernel compile, so xla is the default.
     dsp_backend: str = "xla"
+    # dtype of the windowed-DFT matmul operands — the front end's FLOP
+    # bulk. "float32" reproduces tf.signal numerics exactly (golden
+    # tests); "bfloat16" runs the DFT as a single native MXU pass
+    # (accumulation stays f32): ~3x front-end throughput for ~3e-3
+    # relative feature error. Training accuracy is unaffected (see
+    # tests/test_train.py::test_overfit_bf16_dsp); exports keep f32
+    # unless the training config opted in.
+    dsp_matmul_dtype: str = "float32"
 
     @property
     def desired_samples(self) -> int:

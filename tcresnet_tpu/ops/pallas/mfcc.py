@@ -49,13 +49,13 @@ def fused_mfcc_available(cfg: AudioConfig, num_samples: Optional[int] = None) ->
     )
 
 
-def _kernel(audio_ref, dft_ref, mel_ref, dct_ref, out_ref, *, n_hops, hop, k, num_bins, frames):
+def _kernel(audio_ref, dft_ref, mel_ref, dct_ref, out_ref, *, n_hops, hop, k, num_bins, frames, matmul_dtype):
     # audio_ref: [TB, n_hops, hop] (hop reshape done outside the kernel —
     # Mosaic only supports leading-dim reshapes, minor dim must not change)
     tb = audio_ref.shape[0]
     two_k = 2 * num_bins
 
-    hops = audio_ref[:].reshape(tb * n_hops, hop)
+    hops = audio_ref[:].reshape(tb * n_hops, hop).astype(matmul_dtype)
     partial = jnp.dot(hops, dft_ref[:], preferred_element_type=jnp.float32)
     partial = partial.reshape(tb, n_hops, k * two_k)
 
@@ -78,8 +78,8 @@ def _kernel(audio_ref, dft_ref, mel_ref, dct_ref, out_ref, *, n_hops, hop, k, nu
     out_ref[:] = mfcc.reshape(tb, frames, -1)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _fused_mfcc_impl(audio, cfg: AudioConfig, interpret: bool):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _fused_mfcc_impl(audio, cfg: AudioConfig, interpret: bool, tb: int = 8):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -103,7 +103,7 @@ def _fused_mfcc_impl(audio, cfg: AudioConfig, interpret: bool):
     )
     dct = dsp.dct_ii_matrix(cfg.num_mel_bins, cfg.num_mfccs)
 
-    tb = 8
+    matmul_dtype = dsp.dsp_matmul_dtype(cfg)
     pad = (-batch) % tb
     if pad:
         audio = jnp.pad(audio, ((0, pad), (0, 0)))
@@ -111,7 +111,8 @@ def _fused_mfcc_impl(audio, cfg: AudioConfig, interpret: bool):
     audio = audio.astype(jnp.float32).reshape(padded, n_hops, hop)
 
     kernel = functools.partial(
-        _kernel, n_hops=n_hops, hop=hop, k=k, num_bins=num_bins, frames=frames
+        _kernel, n_hops=n_hops, hop=hop, k=k, num_bins=num_bins,
+        frames=frames, matmul_dtype=matmul_dtype,
     )
     out = pl.pallas_call(
         kernel,
@@ -134,19 +135,25 @@ def _fused_mfcc_impl(audio, cfg: AudioConfig, interpret: bool):
             bytes_accessed=padded * (n + frames * cfg.num_mfccs) * 4,
             transcendentals=padded * frames * cfg.num_mel_bins,
         ),
-    )(audio, jnp.asarray(dft_blocks), jnp.asarray(mel), jnp.asarray(dct))
+    )(
+        audio,
+        jnp.asarray(dft_blocks).astype(matmul_dtype),
+        jnp.asarray(mel),
+        jnp.asarray(dct),
+    )
     if pad:
         out = out[:batch]
     return out
 
 
 def fused_mfcc(
-    audio: jnp.ndarray, cfg: AudioConfig, interpret: bool = False
+    audio: jnp.ndarray, cfg: AudioConfig, interpret: bool = False, tb: int = 8
 ) -> jnp.ndarray:
     """[B, N] wavs -> [B, F, num_mfccs] MFCCs via the fused kernel.
 
-    Falls back to the XLA path when geometry is unsupported.
+    Falls back to the XLA path when geometry is unsupported. `tb` is the
+    batch tile per grid step (VMEM use and DFT-matmul M dim scale with it).
     """
     if not fused_mfcc_available(cfg, audio.shape[-1]):
         return dsp.mfcc(audio, cfg)
-    return _fused_mfcc_impl(audio, cfg, interpret)
+    return _fused_mfcc_impl(audio, cfg, interpret, tb)

@@ -65,13 +65,35 @@ class Trainer:
         self.cfg = cfg
         self.data = train_data
         self.mesh = mesh
-        # Platform the train step will execute on: the mesh's, not the
-        # process default (a registered TPU plugin must not leak Pallas
-        # kernels or array placement into a CPU-mesh run).
-        self.platform = (
-            mesh.devices.flat[0].platform if mesh is not None
-            else jax.default_backend()
-        )
+        # Platform the train step will execute on: the mesh's, else the
+        # pinned jax_default_device's, else the process default backend.
+        # A registered TPU plugin must not leak Pallas kernels or array
+        # placement into CPU runs — default_backend() alone reports the
+        # highest-priority plugin even when the default DEVICE is CPU.
+        if mesh is not None:
+            self.platform = mesh.devices.flat[0].platform
+        else:
+            default_dev = jax.config.jax_default_device
+            self.platform = (
+                default_dev.platform
+                if default_dev is not None
+                else jax.default_backend()
+            )
+        if cfg.audio.dsp_backend == "auto":
+            # Resolve here where the execution platform is known — the
+            # fused front-end kernel wins at >=2k rows on TPU (flat batch
+            # scaling), the XLA framing path below (docs/BENCH_RESULTS.md)
+            import dataclasses
+
+            resolved = (
+                "pallas"
+                if self.platform == "tpu" and cfg.train.batch_size >= 2048
+                else "xla"
+            )
+            cfg = cfg.replace(
+                audio=dataclasses.replace(cfg.audio, dsp_backend=resolved)
+            )
+            self.cfg = cfg
         self.log = get_logger("trainer")
         self.workdir = Path(workdir or cfg.train.train_dir)
         self.workdir.mkdir(parents=True, exist_ok=True)

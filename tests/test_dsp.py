@@ -158,3 +158,22 @@ def test_silence_gives_constant_features():
     assert np.isfinite(feats).all()
     # every frame identical for a constant signal
     np.testing.assert_allclose(feats[0, 0], feats[0, -1], atol=1e-5)
+
+
+def test_bf16_dsp_matmul_close_to_f32():
+    """dsp_matmul_dtype=bfloat16 runs the DFT as one native MXU pass; the
+    feature error must stay ~1e-2 absolute on a ~70-unit feature range."""
+    import jax
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(-1, 1, (4, 16000)).astype(np.float32))
+    with jax.default_device(jax.devices("cpu")[0]):
+        a = np.asarray(dsp.preprocess(x, AudioConfig()))
+        b = np.asarray(
+            dsp.preprocess(x, AudioConfig(dsp_matmul_dtype="bfloat16"))
+        )
+    assert a.shape == b.shape
+    err = np.abs(a - b).max()
+    assert 0 < err < 0.1, err  # bf16 rounding is real but small

@@ -105,6 +105,35 @@ def test_overfit_tiny_dataset(tmp_path, tiny_data):
     assert any(k.startswith("precision/") for k in metrics)
 
 
+def test_overfit_bf16_dsp(tmp_path, tiny_data):
+    """The bf16 windowed-DFT front end must not cost convergence: same
+    overfit gate as test_overfit_tiny_dataset with dsp_matmul_dtype
+    bfloat16 (the bench/TPU-throughput configuration)."""
+    import dataclasses
+
+    cfg = tiny_config(tmp_path / "run", max_step=150)
+    cfg = cfg.replace(
+        audio=dataclasses.replace(cfg.audio, dsp_matmul_dtype="bfloat16")
+    )
+    trainer = Trainer(cfg, DeviceDataset(tiny_data), workdir=tmp_path / "run")
+    state = trainer.train()
+    evaluator = Evaluator(cfg, DeviceDataset(tiny_data))
+    metrics = evaluator.evaluate(state)
+    assert metrics["accuracy"] > 0.9, metrics
+
+
+def test_dsp_backend_auto_resolves_on_cpu(tmp_path, tiny_data):
+    """dsp_backend="auto" must resolve at Trainer init from the EXECUTION
+    platform (never Mosaic lowering on a CPU mesh/host)."""
+    import dataclasses
+
+    cfg = tiny_config(tmp_path / "run", max_step=1)
+    cfg = cfg.replace(audio=dataclasses.replace(cfg.audio, dsp_backend="auto"))
+    tr = Trainer(cfg, DeviceDataset(tiny_data), workdir=tmp_path / "run")
+    assert tr.platform == "cpu"
+    assert tr.cfg.audio.dsp_backend == "xla"
+
+
 def test_checkpoint_save_resume(tmp_path, tiny_data):
     cfg = tiny_config(tmp_path / "run", max_step=30)
     tr1 = Trainer(cfg, DeviceDataset(tiny_data), workdir=tmp_path / "run")

@@ -54,9 +54,16 @@ def main(argv=None):
     p.add_argument("--n1", type=int, default=10)
     p.add_argument("--n2", type=int, default=60)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--dsp-backend", default="xla",
+                   choices=["xla", "pallas", "auto"])
     args = p.parse_args(argv)
 
+    import dataclasses as _dc
+
     cfg0 = get_preset("TCResNet8-1.0")
+    cfg0 = cfg0.replace(
+        audio=_dc.replace(cfg0.audio, dsp_backend=args.dsp_backend)
+    )
     host = make_synthetic_dataset(
         num_samples=args.dataset_size, num_classes=12,
         desired_samples=16000, seed=0,
