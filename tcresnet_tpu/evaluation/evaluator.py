@@ -63,7 +63,7 @@ class Evaluator:
         # Eval-mode augmentation: silence rows zeroed, no shift, no noise
         # (eval scripts pass background_frequency 0.0).
         wavs = jnp.where(silent[:, None], 0.0, wavs)
-        feats = dsp.preprocess(wavs, self.cfg.audio)
+        feats = dsp.preprocess(wavs, self.cfg.audio, mesh=self.mesh)
         logits = self.model.apply(
             {"params": params, "batch_stats": batch_stats}, feats, training=False
         )

@@ -240,6 +240,7 @@ def augment_gathered(
     is_training: bool,
     clip_len: int,
     platform: Optional[str] = None,
+    mesh=None,
 ) -> jnp.ndarray:
     """Backend-dispatching gather+augment over the HBM-resident dataset.
 
@@ -264,7 +265,7 @@ def augment_gathered(
         if gather_fusable(wavs3d, cfg, noise_bank, clip_len):
             return fused_gather_augment(
                 wavs3d, idx, is_silent, key, cfg, noise_bank,
-                is_training, clip_len,
+                is_training, clip_len, mesh=mesh,
             )
     rows = wavs3d[idx]
     p = rows.shape[1] * rows.shape[2]

@@ -285,7 +285,7 @@ def mfcc(audio: jnp.ndarray, cfg: AudioConfig) -> jnp.ndarray:
     )
 
 
-def preprocess(audio: jnp.ndarray, cfg: AudioConfig) -> jnp.ndarray:
+def preprocess(audio: jnp.ndarray, cfg: AudioConfig, mesh=None) -> jnp.ndarray:
     """Front-end dispatch: [..., N] wavs -> [..., H, W, 1] features.
 
     The single entry point used by train, eval, and AOT serving alike
@@ -314,7 +314,7 @@ def preprocess(audio: jnp.ndarray, cfg: AudioConfig) -> jnp.ndarray:
         if backend == "pallas" and audio.ndim == 2:
             from tcresnet_tpu.ops.pallas.mfcc import fused_mfcc
 
-            feats = fused_mfcc(audio, cfg)
+            feats = fused_mfcc(audio, cfg, mesh=mesh)
         else:
             feats = mfcc(audio, cfg)
     elif cfg.preprocess_method == "log_mel_spectrogram":

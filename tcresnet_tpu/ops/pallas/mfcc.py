@@ -147,13 +147,33 @@ def _fused_mfcc_impl(audio, cfg: AudioConfig, interpret: bool, tb: int = 8):
 
 
 def fused_mfcc(
-    audio: jnp.ndarray, cfg: AudioConfig, interpret: bool = False, tb: int = 8
+    audio: jnp.ndarray,
+    cfg: AudioConfig,
+    interpret: bool = False,
+    tb: int = 8,
+    mesh=None,
 ) -> jnp.ndarray:
     """[B, N] wavs -> [B, F, num_mfccs] MFCCs via the fused kernel.
 
     Falls back to the XLA path when geometry is unsupported. `tb` is the
     batch tile per grid step (VMEM use and DFT-matmul M dim scale with it).
+    With a multi-device `mesh`, the kernel runs per-shard under shard_map
+    (a custom call cannot be partitioned by plain jit) with the batch
+    sharded over the `data` axis.
     """
     if not fused_mfcc_available(cfg, audio.shape[-1]):
         return dsp.mfcc(audio, cfg)
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        n_data = mesh.shape["data"]
+        if audio.shape[0] % (n_data * tb) == 0:
+            return shard_map(
+                lambda a: _fused_mfcc_impl(a, cfg, interpret, tb),
+                mesh=mesh,
+                in_specs=(P("data"),),
+                out_specs=P("data"),
+                check_rep=False,
+            )(audio)
     return _fused_mfcc_impl(audio, cfg, interpret, tb)

@@ -254,7 +254,7 @@ class Trainer:
 
     def _loss_fn(self, params, batch_stats, batch, dropout_key):
         wavs, labels, _ = batch
-        feats = dsp.preprocess(wavs, self.cfg.audio)
+        feats = dsp.preprocess(wavs, self.cfg.audio, mesh=self.mesh)
         logits, mutated = self.model.apply(
             {"params": params, "batch_stats": batch_stats},
             feats,
@@ -292,7 +292,7 @@ class Trainer:
         wavs = aug.augment_gathered(
             arrays[0], idx, silent, k_aug, cfg.augment, noise_bank,
             is_training=True, clip_len=cfg.audio.desired_samples,
-            platform=self.platform,
+            platform=self.platform, mesh=self.mesh,
         )
         batch = (wavs, labels, silent)
 

@@ -77,3 +77,66 @@ def test_dp_matches_single_device(tmp_path, mesh8):
     p1 = np.asarray(jax.tree_util.tree_leaves(s1.params)[0])
     p2 = np.asarray(jax.tree_util.tree_leaves(s2.params)[0])
     np.testing.assert_allclose(p1, p2, atol=1e-3)
+
+
+def test_gather_augment_shard_map_equivalence(mesh8):
+    """The v5 kernel under shard_map on an 8-device CPU mesh (interpret
+    mode) must equal the unsharded call bit-for-bit: validates the
+    in/out specs and local-shape handling the real multi-chip TPU path
+    uses (a pallas_call cannot be partitioned by plain jit)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tcresnet_tpu.config import AugmentConfig
+    from tcresnet_tpu.ops.pallas.augment import fused_gather_augment, gather_fusable
+
+    rng = np.random.default_rng(11)
+    n = 2048
+    num_rows, batch = 64, 128
+    data = rng.integers(-32768, 32768, (num_rows, n)).astype(np.int16)
+    cfg = AugmentConfig(background_frequency=0.9, background_max_volume=0.3)
+    noise = rng.normal(size=(3, 3 * n)).astype(np.float32) * 0.1
+
+    repl = NamedSharding(mesh8, P())
+    wavs3d = jax.device_put(data.reshape(num_rows, n // 128, 128), repl)
+    noise_d = jax.device_put(noise, repl)
+    idx_host = rng.integers(0, num_rows, batch).astype(np.int32)
+    silent_host = rng.integers(0, 4, batch) == 0
+    idx = jax.device_put(idx_host, NamedSharding(mesh8, P("data")))
+    silent = jax.device_put(silent_host, NamedSharding(mesh8, P("data")))
+    assert gather_fusable(wavs3d, cfg, noise_d, n)
+
+    key = jax.random.key(9)
+    with mesh8:
+        sharded = np.asarray(
+            fused_gather_augment(
+                wavs3d, idx, silent, key, cfg, noise_d, True, n,
+                interpret=True, mesh=mesh8,
+            )
+        )
+    plain = np.asarray(
+        fused_gather_augment(
+            jnp.asarray(data.reshape(num_rows, n // 128, 128)),
+            jnp.asarray(idx_host), jnp.asarray(silent_host),
+            key, cfg, jnp.asarray(noise), True, n, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(sharded, plain)
+
+
+def test_fused_mfcc_shard_map_equivalence(mesh8):
+    """Sharded fused MFCC == unsharded (interpret mode, 8 CPU devices)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tcresnet_tpu.config import AudioConfig
+    from tcresnet_tpu.ops.pallas.mfcc import fused_mfcc
+
+    cfg = AudioConfig(clip_duration_ms=200)  # 3200 samples, 160-hop
+    rng = np.random.default_rng(12)
+    x = rng.uniform(-1, 1, (64, cfg.desired_samples)).astype(np.float32)
+    xd = jax.device_put(x, NamedSharding(mesh8, P("data")))
+    with mesh8:
+        sharded = np.asarray(fused_mfcc(xd, cfg, interpret=True, mesh=mesh8))
+    plain = np.asarray(fused_mfcc(jnp.asarray(x), cfg, interpret=True))
+    np.testing.assert_array_equal(sharded, plain)
