@@ -45,6 +45,8 @@ def main(argv=None):
     p.add_argument("--steps-per-call", type=int, default=50)
     p.add_argument("--dsp-backend", default="auto",
                    choices=["xla", "pallas", "auto"])
+    p.add_argument("--frontend", default="auto", choices=["auto", "on", "off"],
+                   help="single-kernel gather+augment+MFCC input path")
     args = p.parse_args(argv)
 
     cfg = get_preset("TCResNet8-1.0")
@@ -56,7 +58,9 @@ def main(argv=None):
         train=dataclasses.replace(
             cfg.train, batch_size=batch, max_step=10**9, compute_dtype=args.dtype
         ),
-        audio=dataclasses.replace(cfg.audio, dsp_backend=args.dsp_backend),
+        audio=dataclasses.replace(
+            cfg.audio, dsp_backend=args.dsp_backend, frontend_fuse=args.frontend
+        ),
     )
 
     # Speech-Commands-scale dataset resident in HBM (24k utterances).

@@ -37,6 +37,15 @@ class AudioConfig:
     # compute-bound fp32, bit-exact agreement); pallas costs one extra
     # ~2.5-min kernel compile, so xla is the default.
     dsp_backend: str = "xla"
+    # Single-kernel training input path: dataset-row gather + int16
+    # decode + augmentation + MFCC in ONE Pallas pass
+    # (ops/pallas/frontend.py) — the augmented waveform never exists in
+    # HBM. "auto": on TPU at batch >= 2048 whenever geometry/config allow
+    # (MFCC preprocessing, hop-decomposable window, lane-aligned clip;
+    # below 2048 rows the XLA framing DSP still wins — see
+    # docs/BENCH_RESULTS.md); "off"/"on" force. Train-path only; eval
+    # keeps the shared dsp.preprocess front end.
+    frontend_fuse: str = "auto"
     # dtype of the windowed-DFT matmul operands — the front end's FLOP
     # bulk. "float32" reproduces tf.signal numerics exactly (golden
     # tests); "bfloat16" runs the DFT as a single native MXU pass

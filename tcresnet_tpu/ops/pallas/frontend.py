@@ -1,0 +1,365 @@
+"""Fully fused input front end: gather + decode + augment + MFCC, ONE kernel.
+
+The end state of the input-pipeline fusion line (SURVEY.md 2.9.2/2.9.3):
+per training batch row, this kernel
+
+    DMAs the int16 dataset row by prefetched batch index  (v5 augment)
+    decodes to float, time-shifts, mixes background noise, clips
+    re-frames the result into DFT hops IN REGISTERS
+    windowed real-DFT -> power -> mel -> log -> DCT      (fused MFCC)
+
+and writes ONLY the [TB, frames, n_mfccs] features to HBM. Per row of a
+16 kHz/1 s batch that is a 32 KB int16 read + ~68 KB noise-crop read +
+15.7 KB feature write — the augmented waveform never exists in HBM. The
+two-kernel path (ops/pallas/augment.py -> ops/pallas/mfcc.py) pays two
+extra relayout round trips between them ([B,128,128] <-> [B,16000] <->
+[B,100,160], ~1 GB of HBM traffic at batch 4096).
+
+The blocker this solves: Mosaic reshapes cannot change the minor (lane)
+dimension, so a flat [16000] row laid out as [125, 128] cannot be
+reshaped to [100, 160] hops in-kernel. But over the LCM(hop=160,
+lanes=128) = 640-sample superblock the re-framing IS expressible as
+static lane slices + minor-dim concatenations (4 hop rows from 5 lane
+rows), which Mosaic supports — see _hops_from_lanes.
+
+Numerics: same draws and same math as fused_gather_augment -> fused_mfcc
+with the same key; agreement is ULP-level (|diff| <= ~4e-6 — the augment
+chain fuses into the DFT matmul here, so FMA contraction may round
+differently than the standalone augment kernel), tested in
+tests/test_pallas_frontend.py. The two-kernel constituents are
+themselves bit-exact vs the XLA paths.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tcresnet_tpu.config import AudioConfig, AugmentConfig
+from tcresnet_tpu.ops import dsp
+from tcresnet_tpu.ops.pallas.augment import (
+    _ALIGN,
+    _LANES,
+    _TB,
+    _draw_scalars,
+    _next_pow2,
+    _noise_bank_2d,
+    _roll_flat_2d,
+    gather_fusable,
+)
+from tcresnet_tpu.ops.pallas.mfcc import fused_mfcc_available
+
+
+def _hops_from_lanes(x2, hop: int):
+    """[R, 128] lane-major samples -> [R*128/hop, hop] DFT hops.
+
+    Static re-framing via lane slices + minor concat over the
+    LCM(hop, 128) superblock; every slice width is a multiple of
+    gcd(hop, 128). No minor-dim reshape involved.
+    """
+    rows, lanes = x2.shape
+    assert lanes == _LANES
+    total = rows * lanes
+    assert total % hop == 0
+    per = (hop * lanes) // math.gcd(hop, lanes)  # lcm
+    in_rows_per = per // lanes
+    out_rows_per = per // hop
+    assert rows % in_rows_per == 0
+    nb = rows // in_rows_per
+    blocks = x2.reshape(nb, in_rows_per, lanes)
+
+    out_rows = []
+    for r in range(out_rows_per):
+        segs = []
+        pos = r * hop
+        while pos < (r + 1) * hop:
+            ir, lane = pos // lanes, pos % lanes
+            width = min(lanes - lane, (r + 1) * hop - pos)
+            seg = blocks[:, ir : ir + 1, lane : lane + width]  # [nb, 1, w]
+            segs.append(seg.reshape(nb, width))
+            pos += width
+        out_rows.append(jnp.concatenate(segs, axis=-1).reshape(nb, 1, hop))
+    return jnp.concatenate(out_rows, axis=1).reshape(nb * out_rows_per, hop)
+
+
+def _kernel(
+    *refs,
+    p: int,
+    n: int,
+    win_rows: int,
+    crop_rolls: bool,
+    scale: float,
+    n_hops: int,
+    hop: int,
+    k: int,
+    num_bins: int,
+    frames: int,
+    matmul_dtype,
+):
+    """Ref layout: 6 scalar-prefetch ([B] shift/srow/rem/vol/keep/idx),
+    TB index-mapped wav blocks [1, A, 128] int16, noise bank (ANY),
+    dft [hop, k*2K], mel [K, M], dct [M, C], out [TB, frames, C],
+    TB crop scratches + DMA sem [TB]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    shift_ref, srow_ref, rem_ref, vol_ref, keep_ref, _idx_ref = refs[:6]
+    wav_refs = refs[6 : 6 + _TB]
+    noise_ref = refs[6 + _TB]
+    dft_ref = refs[7 + _TB]
+    mel_ref = refs[8 + _TB]
+    dct_ref = refs[9 + _TB]
+    out_ref = refs[10 + _TB]
+    scratches = refs[11 + _TB : 11 + 2 * _TB]
+    sem = refs[11 + 2 * _TB]
+
+    i = pl.program_id(0)
+    a_rows = p // _LANES
+    two_k = 2 * num_bins
+
+    def crop_dma(r):
+        start = pl.multiple_of(srow_ref[i * _TB + r], 8)
+        return pltpu.make_async_copy(
+            noise_ref.at[pl.ds(start, win_rows)],
+            scratches[r].at[pl.ds(0, win_rows)],
+            sem.at[r],
+        )
+
+    for r in range(_TB):
+        crop_dma(r).start()
+
+    pos = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, a_rows, _LANES), 1) * _LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (1, a_rows, _LANES), 2)
+    )
+
+    # --- augment phase (identical math to ops/pallas/augment._kernel_gather,
+    # but the result stays in registers/VMEM values) ---
+    shifted = []
+    for r in range(_TB):
+        b = i * _TB + r
+        wav = wav_refs[r][:].astype(jnp.float32) * scale
+        s_signed = shift_ref[b]
+        s = jax.lax.rem(s_signed + p, p)
+        rolled = _roll_flat_2d(wav, s, pltpu)
+        valid = (pos >= s_signed) & (pos < p + s_signed)
+        shifted.append(rolled * valid.astype(jnp.float32) * keep_ref[b])
+
+    hops_rows = []
+    n_rows = n // _LANES  # rows holding real samples (n % 128 == 0)
+    for r in range(_TB):
+        b = i * _TB + r
+        crop_dma(r).wait()
+        sc3 = scratches[r][:, :].reshape(1, *scratches[r].shape)
+        if crop_rolls:
+            total = scratches[r].shape[0] * _LANES
+            sc3 = _roll_flat_2d(
+                sc3, jax.lax.rem(-rem_ref[b] + total, total), pltpu
+            )
+        crop = sc3[:, :a_rows, :]
+        aug = jnp.clip(shifted[r] + vol_ref[b] * crop, -1.0, 1.0)
+        x2 = aug[:, :n_rows, :].reshape(n_rows, _LANES)
+        hops_rows.append(_hops_from_lanes(x2, hop))  # [n_hops, hop]
+
+    hops = jnp.concatenate(hops_rows, axis=0)  # [TB*n_hops, hop]
+
+    # --- MFCC tail (identical math to ops/pallas/mfcc._kernel) ---
+    partial = jnp.dot(
+        hops.astype(matmul_dtype), dft_ref[:], preferred_element_type=jnp.float32
+    )
+    partial = partial.reshape(_TB, n_hops, k * two_k)
+    reim = partial[:, 0:frames, 0:two_k]
+    for j in range(1, k):
+        reim = reim + partial[:, j : j + frames, j * two_k : (j + 1) * two_k]
+    re = reim[:, :, :num_bins]
+    im = reim[:, :, num_bins:]
+    power = re * re + im * im
+    mel = jnp.dot(
+        power.reshape(_TB * frames, num_bins),
+        mel_ref[:],
+        preferred_element_type=jnp.float32,
+    )
+    log_mel = jnp.log(mel + 1e-6)
+    mfcc = jnp.dot(log_mel, dct_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = mfcc.reshape(_TB, frames, -1)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _impl(wavs3d, idx, scalars, noise_bank, n, cfg, interpret, quantize_crops):
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    shifts, clips, offs, vols, keeps = scalars
+    batch = idx.shape[0]
+    _, a_rows, lanes = wavs3d.shape
+    p = a_rows * _LANES
+
+    pad_b = (-batch) % _TB
+    if pad_b:
+        idx = jnp.pad(idx, (0, pad_b))
+        shifts, clips, offs, vols, keeps = (
+            jnp.pad(a, (0, pad_b)) for a in (shifts, clips, offs, vols, keeps)
+        )
+    padded_b = idx.shape[0]
+
+    noise2d, stride, win_rows = _noise_bank_2d(noise_bank, n)
+    scratch_rows = _next_pow2(max(win_rows, a_rows))
+    off_aligned = (offs // _ALIGN) * _ALIGN
+    if quantize_crops:
+        rems = jnp.zeros_like(off_aligned, jnp.int32)
+    else:
+        rems = (offs - off_aligned).astype(jnp.int32)
+    start_rows = ((clips * stride + off_aligned) // _LANES).astype(jnp.int32)
+
+    # MFCC geometry + constants
+    window = cfg.window_size_samples
+    hop = cfg.window_stride_samples
+    fft_length = dsp.fft_length_for(window)
+    num_bins = fft_length // 2 + 1
+    k = window // hop
+    n_hops = n // hop
+    frames = n_hops - k + 1
+    two_k = 2 * num_bins
+    dft = dsp.windowed_rdft_matrix(window, fft_length)
+    dft_blocks = np.concatenate(
+        [dft[j * hop : (j + 1) * hop] for j in range(k)], axis=1
+    )
+    mel = dsp.linear_to_mel_weight_matrix(
+        cfg.num_mel_bins, num_bins, cfg.sample_rate,
+        cfg.lower_edge_hertz, cfg.upper_edge_hertz,
+    )
+    dct = dsp.dct_ii_matrix(cfg.num_mel_bins, cfg.num_mfccs)
+    matmul_dtype = dsp.dsp_matmul_dtype(cfg)
+
+    def wav_spec(r):
+        return pl.BlockSpec(
+            (1, a_rows, _LANES),
+            lambda i, shift, srow, rem, vol, keep, idx_r: (
+                idx_r[i * _TB + r],
+                0,
+                0,
+            ),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(padded_b // _TB,),
+        in_specs=[wav_spec(r) for r in range(_TB)]
+        + [
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (hop, k * two_k), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (num_bins, cfg.num_mel_bins), lambda i, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (cfg.num_mel_bins, cfg.num_mfccs), lambda i, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (_TB, frames, cfg.num_mfccs), lambda i, *_: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((scratch_rows, _LANES), jnp.float32) for _ in range(_TB)
+        ]
+        + [pltpu.SemaphoreType.DMA((_TB,))],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            p=p,
+            n=n,
+            win_rows=win_rows,
+            crop_rolls=not quantize_crops,
+            scale=1.0 / 32768.0,
+            n_hops=n_hops,
+            hop=hop,
+            k=k,
+            num_bins=num_bins,
+            frames=frames,
+            matmul_dtype=matmul_dtype,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (padded_b, frames, cfg.num_mfccs), jnp.float32
+        ),
+        interpret=interpret,
+    )(
+        shifts.astype(jnp.int32),
+        start_rows,
+        rems,
+        vols.astype(jnp.float32),
+        keeps.astype(jnp.float32),
+        idx.astype(jnp.int32),
+        *([wavs3d] * _TB),
+        noise2d,
+        jnp.asarray(dft_blocks).astype(matmul_dtype),
+        jnp.asarray(mel),
+        jnp.asarray(dct),
+    )
+    return out[:batch]
+
+
+def frontend_fusable(
+    wavs3d,
+    aug_cfg: AugmentConfig,
+    audio_cfg: AudioConfig,
+    noise_bank,
+    n: int,
+) -> bool:
+    """Whether the single-kernel gather+augment+MFCC path applies."""
+    return (
+        gather_fusable(wavs3d, aug_cfg, noise_bank, n)
+        and audio_cfg.preprocess_method == "mfcc"
+        and fused_mfcc_available(audio_cfg, n)
+        and n % _LANES == 0
+    )
+
+
+def fused_gather_augment_mfcc(
+    wavs3d: jnp.ndarray,
+    idx: jnp.ndarray,
+    is_silent: jnp.ndarray,
+    key: jax.Array,
+    aug_cfg: AugmentConfig,
+    audio_cfg: AudioConfig,
+    noise_bank: jnp.ndarray,
+    is_training: bool,
+    n: int,
+    interpret: bool = False,
+    mesh=None,
+) -> jnp.ndarray:
+    """[N,P/128,128] int16 dataset + idx[B] -> [B, frames, n_mfccs] f32.
+
+    Callers must check frontend_fusable() first. With a multi-device
+    mesh, runs per-shard under shard_map (randomness drawn here on the
+    global batch, so shards never correlate)."""
+    assert frontend_fusable(wavs3d, aug_cfg, audio_cfg, noise_bank, n)
+    scalars = _draw_scalars(key, is_silent, aug_cfg, noise_bank, n, is_training)
+    quantize = bool(getattr(aug_cfg, "noise_crop_quantize", False))
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        n_data = mesh.shape["data"]
+        if idx.shape[0] % (n_data * _TB) == 0:
+            return shard_map(
+                lambda w, i, s, nb: _impl(
+                    w, i, s, nb, n, audio_cfg, interpret, quantize
+                ),
+                mesh=mesh,
+                in_specs=(P(), P("data"), (P("data"),) * 5, P()),
+                out_specs=P("data"),
+                check_rep=False,
+            )(wavs3d, idx, scalars, noise_bank)
+    return _impl(wavs3d, idx, scalars, noise_bank, n, audio_cfg, interpret, quantize)

@@ -45,6 +45,7 @@ from tcresnet_tpu.metrics.writers import (
 from tcresnet_tpu.models import build_model, param_count
 from tcresnet_tpu.ops import augment as aug
 from tcresnet_tpu.ops import dsp
+from tcresnet_tpu.ops.pallas import frontend
 from tcresnet_tpu.parallel import mesh as meshlib
 from tcresnet_tpu.train import loss as losslib
 from tcresnet_tpu.train import optim as optimlib
@@ -252,9 +253,7 @@ class Trainer:
     # the fused train step
     # ------------------------------------------------------------------
 
-    def _loss_fn(self, params, batch_stats, batch, dropout_key):
-        wavs, labels, _ = batch
-        feats = dsp.preprocess(wavs, self.cfg.audio, mesh=self.mesh)
+    def _loss_fn(self, params, batch_stats, feats, labels, dropout_key):
         logits, mutated = self.model.apply(
             {"params": params, "batch_stats": batch_stats},
             feats,
@@ -277,6 +276,46 @@ class Trainer:
         }
         return total, aux
 
+    def _input_features(self, arrays, idx, silent, k_aug, noise_bank):
+        """Batch indices -> [B, H, W, 1] training features.
+
+        On TPU the whole input path — dataset-row gather, int16 decode,
+        augmentation, and MFCC — runs as ONE Pallas kernel
+        (ops/pallas/frontend.py): neither the gathered batch nor the
+        augmented waveform is ever materialized in HBM. Elsewhere (or
+        when geometry/config rule the kernel out) it falls back to the
+        fused gather+augment kernel / XLA augmentation followed by the
+        shared dsp.preprocess front end.
+        """
+        cfg = self.cfg
+        n = cfg.audio.desired_samples
+        mode = getattr(cfg.audio, "frontend_fuse", "auto")
+        # "auto" engages at >=2048 rows: below that the XLA framing DSP
+        # still wins (same crossover as dsp_backend auto — the fused
+        # kernels are flat in batch, the XLA front end is fastest small);
+        # measured 586k utt/s off vs 504k on @1024, 524k on vs 470k off
+        # @4096 (docs/BENCH_RESULTS.md round-2 frontend table).
+        want_fuse = mode == "on" or (
+            mode == "auto"
+            and self.platform == "tpu"
+            and idx.shape[0] >= 2048
+            and getattr(cfg.augment, "backend", "auto") in ("auto", "pallas")
+        )
+        if want_fuse and frontend.frontend_fusable(
+            arrays[0], cfg.augment, cfg.audio, noise_bank, n
+        ):
+            feats = frontend.fused_gather_augment_mfcc(
+                arrays[0], idx, silent, k_aug, cfg.augment, cfg.audio,
+                noise_bank, is_training=True, n=n, mesh=self.mesh,
+            )
+            return feats[..., None]
+        wavs = aug.augment_gathered(
+            arrays[0], idx, silent, k_aug, cfg.augment, noise_bank,
+            is_training=True, clip_len=n,
+            platform=self.platform, mesh=self.mesh,
+        )
+        return dsp.preprocess(wavs, cfg.audio, mesh=self.mesh)
+
     def _one_step(self, state: TrainState, arrays, noise_bank) -> Tuple[TrainState, Dict]:
         cfg = self.cfg
         base = jax.random.key(cfg.train.seed)
@@ -286,18 +325,10 @@ class Trainer:
         idx, labels, silent = DeviceDataset.sample_indices(
             arrays, k_sample, cfg.train.batch_size, self.mesh
         )
-        # gather + int16 decode + augmentation fuse into one kernel pass
-        # on TPU (ops/pallas/augment.fused_gather_augment); the batch is
-        # never materialized as a separate [B, n] array in HBM
-        wavs = aug.augment_gathered(
-            arrays[0], idx, silent, k_aug, cfg.augment, noise_bank,
-            is_training=True, clip_len=cfg.audio.desired_samples,
-            platform=self.platform, mesh=self.mesh,
-        )
-        batch = (wavs, labels, silent)
+        feats = self._input_features(arrays, idx, silent, k_aug, noise_bank)
 
         (total, auxd), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch, k_drop
+            state.params, state.batch_stats, feats, labels, k_drop
         )
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
         # LR is a pure function of the global step (reference semantics:

@@ -124,6 +124,55 @@ def test_gather_augment_shard_map_equivalence(mesh8):
     np.testing.assert_array_equal(sharded, plain)
 
 
+def test_frontend_shard_map_equivalence(mesh8):
+    """Single-kernel front end (gather+augment+MFCC) under shard_map on
+    the 8-device CPU mesh (interpret mode) == unsharded bit-for-bit."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tcresnet_tpu.config import AudioConfig, AugmentConfig
+    from tcresnet_tpu.ops.pallas.frontend import (
+        frontend_fusable,
+        fused_gather_augment_mfcc,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 2560  # % 128 == 0 and % 160 == 0
+    num_rows, batch = 32, 128
+    data = np.zeros((num_rows, 4096), np.int16)
+    data[:, :n] = rng.integers(-32768, 32768, (num_rows, n)).astype(np.int16)
+    aug_cfg = AugmentConfig(background_frequency=0.9, background_max_volume=0.3)
+    audio_cfg = AudioConfig(clip_duration_ms=160, num_mfccs=20, num_mel_bins=32)
+    noise = rng.normal(size=(3, 3 * n)).astype(np.float32) * 0.1
+
+    repl = NamedSharding(mesh8, P())
+    wavs3d = jax.device_put(data.reshape(num_rows, 32, 128), repl)
+    noise_d = jax.device_put(noise, repl)
+    idx_host = rng.integers(0, num_rows, batch).astype(np.int32)
+    silent_host = rng.integers(0, 4, batch) == 0
+    idx = jax.device_put(idx_host, NamedSharding(mesh8, P("data")))
+    silent = jax.device_put(silent_host, NamedSharding(mesh8, P("data")))
+    assert frontend_fusable(wavs3d, aug_cfg, audio_cfg, noise_d, n)
+
+    key = jax.random.key(9)
+    with mesh8:
+        sharded = np.asarray(
+            fused_gather_augment_mfcc(
+                wavs3d, idx, silent, key, aug_cfg, audio_cfg, noise_d,
+                True, n, interpret=True, mesh=mesh8,
+            )
+        )
+    plain = np.asarray(
+        fused_gather_augment_mfcc(
+            jnp.asarray(data.reshape(num_rows, 32, 128)),
+            jnp.asarray(idx_host), jnp.asarray(silent_host),
+            key, aug_cfg, audio_cfg, jnp.asarray(noise), True, n,
+            interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(sharded, plain)
+
+
 def test_fused_mfcc_shard_map_equivalence(mesh8):
     """Sharded fused MFCC == unsharded (interpret mode, 8 CPU devices)."""
     import jax.numpy as jnp
