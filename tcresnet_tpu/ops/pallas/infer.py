@@ -1,0 +1,316 @@
+"""Single-kernel TC-ResNet inference: wav -> logits in ONE Pallas call.
+
+TPU-native replacement for the reference's deploy path (freeze.py ->
+.tflite -> TF-Lite interpreter, one C++ kernel dispatch per op): here the
+ENTIRE inference program — MFCC front end (windowed real-DFT, mel, log,
+DCT as MXU matmuls) and every temporal conv / BN / ReLU / residual add /
+pool / classifier of audio_nets/tc_resnet.py — runs inside one kernel
+launch, with all weights (~65k params, ~260 KB) resident in VMEM and no
+intermediate activation ever touching HBM.
+
+Eval-mode BatchNorm makes whole-model fusion legal: the running-stat
+affine folds into each conv's weights at build time (scale = gamma /
+sqrt(var + 1e-3), reference slim.batch_norm epsilon), so a conv+BN+ReLU
+triple becomes shifted-slice MXU matmuls + bias + max. Temporal k x 1
+convs (tc_resnet.py:28-41) are computed as k shifted middle-dim slices of
+the [TB, T, C] activation, each matmul'd against the corresponding
+[C_in, C_out] weight block — TF-SAME padding and stride-2 downsampling
+(even-row selection via a leading-dim reshape; the minor dim never
+changes, respecting Mosaic's reshape rule) are exact.
+
+Numerics: BN folding is algebraically exact; agreement with the XLA
+inference path (serve/export.build_inference_fn) is ULP-level — softmax
+outputs match to <=1e-5, the BASELINE.md AOT-parity gate
+(tests/test_pallas_infer.py).
+
+Supported: TCResNet8 / TCResNet14 (any width multiplier), MFCC features,
+hop-decomposable geometry. Other families use the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tcresnet_tpu.config import AudioConfig, ModelConfig
+from tcresnet_tpu.ops import dsp
+
+_BN_EPS = 1e-3  # slim.batch_norm default (models/layers.py)
+
+_TC_CHANNELS = {
+    "TCResNet8": (16, 24, 32, 48),
+    "TCResNet14": (16, 24, 24, 32, 32, 48, 48),
+}
+
+
+def fused_infer_available(model_cfg: ModelConfig, audio_cfg: AudioConfig) -> bool:
+    """Whole-model kernel supports the temporal TC-ResNet family on MFCC."""
+    from tcresnet_tpu.ops.pallas.mfcc import fused_mfcc_available
+
+    return model_cfg.name in _TC_CHANNELS and fused_mfcc_available(audio_cfg)
+
+
+# ---------------------------------------------------------------------------
+# weight folding: conv kernel + BN running stats -> (W [k*Cin, Cout], b)
+# ---------------------------------------------------------------------------
+
+
+def _fold_conv_bn(params, stats, name: str) -> Tuple[np.ndarray, np.ndarray]:
+    kern = np.asarray(params[f"{name}_conv"]["kernel"], np.float32)  # [k,1,Ci,Co]
+    gamma = np.asarray(params[f"{name}_bn"]["scale"], np.float32)
+    beta = np.asarray(params[f"{name}_bn"]["bias"], np.float32)
+    mean = np.asarray(stats[f"{name}_bn"]["mean"], np.float32)
+    var = np.asarray(stats[f"{name}_bn"]["var"], np.float32)
+    s = gamma / np.sqrt(var + _BN_EPS)
+    k, kw, ci, co = kern.shape
+    assert kw == 1, "temporal conv expected"
+    w = (kern[:, 0] * s).reshape(k * ci, co)  # scale broadcasts over Cout
+    b = (beta - mean * s).reshape(1, co)
+    return w, b
+
+
+def build_layer_spec(
+    model_cfg: ModelConfig, params, stats, num_coeffs: int
+) -> Tuple[List[Dict[str, Any]], np.ndarray]:
+    """Flatten the TC-ResNet block structure into a conv list + fc kernel.
+
+    Each entry: {name, w, b, k, stride, relu, role} where role is one of
+    "conv0" | "down" | "block0" (first block conv) | "block1" (second,
+    pre-add). The kernel interpreter below replays the residual dataflow
+    of tc_resnet.py:28-48 from the roles.
+    """
+    channels = tuple(
+        int(c * model_cfg.width_multiplier) for c in _TC_CHANNELS[model_cfg.name]
+    )
+    spec: List[Dict[str, Any]] = []
+    spec.append(
+        dict(role="conv0", k=3, stride=1, relu=True,
+             wb=_fold_conv_bn(params, stats, "conv0"))
+    )
+    prev = channels[0]
+    for i, n in enumerate(channels[1:]):
+        stride = 2 if n != prev else 1
+        if n != prev:
+            spec.append(
+                dict(role="down", k=1, stride=2, relu=True,
+                     wb=_fold_conv_bn(params, stats, f"block{i}_down"))
+            )
+        spec.append(
+            dict(role="block0", k=9, stride=stride, relu=True,
+                 wb=_fold_conv_bn(params, stats, f"block{i}_conv0"))
+        )
+        spec.append(
+            dict(role="block1", k=9, stride=1, relu=False,
+                 wb=_fold_conv_bn(params, stats, f"block{i}_conv1"))
+        )
+        prev = n
+    fc = np.asarray(params["fc"]["kernel"], np.float32)  # [C_last, ncls]
+    return spec, fc
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+
+def _conv_step(x, w, b, k: int, stride: int, relu: bool):
+    """[TB, T, Cin] -> [TB, To, Cout]: TF-SAME k x 1 conv as k shifted
+    middle-dim slices, each MXU-matmul'd against its weight block."""
+    tb, t, ci = x.shape
+    co = w.shape[-1]
+    to = -(-t // stride)
+    total = max((to - 1) * stride + k - t, 0)
+    lo = total // 2
+    span = stride * (to - 1) + 1
+    xpad = jnp.pad(x, ((0, 0), (lo, max(span + k - 1 - t - lo, 0)), (0, 0)))
+    acc = None
+    for j in range(k):
+        sl = jax.lax.slice_in_dim(xpad, j, j + span, axis=1)
+        if stride > 1:
+            rows = sl.shape[1]
+            pad_r = (-rows) % stride
+            if pad_r:
+                sl = jnp.pad(sl, ((0, 0), (0, pad_r), (0, 0)))
+            sl = sl.reshape(tb, -1, stride, ci)[:, :, 0, :]
+        part = jnp.dot(
+            sl.reshape(tb * to, ci),
+            jax.lax.slice_in_dim(w, j * ci, (j + 1) * ci, axis=0),
+            preferred_element_type=jnp.float32,
+        )
+        acc = part if acc is None else acc + part
+    y = acc.reshape(tb, to, co) + b[None]
+    return jnp.maximum(y, 0.0) if relu else y
+
+
+def _kernel(
+    *refs,
+    tb: int,
+    spec_static: Tuple[Tuple[str, int, int, bool], ...],
+    n_hops: int,
+    hop: int,
+    k_dft: int,
+    num_bins: int,
+    frames: int,
+    num_mel: int,
+    num_mfcc: int,
+):
+    """Ref order: hops [TB, n_hops, hop], dft, mel, dct,
+    (w, b) per conv in spec order, fc, out [TB, ncls]."""
+    hops_ref, dft_ref, mel_ref, dct_ref = refs[:4]
+    n_convs = len(spec_static)
+    wrefs = refs[4 : 4 + 2 * n_convs]
+    fc_ref = refs[4 + 2 * n_convs]
+    out_ref = refs[5 + 2 * n_convs]
+
+    two_k = 2 * num_bins
+
+    # ---- MFCC front end (identical math to ops/pallas/mfcc._kernel) ----
+    hops = hops_ref[:].reshape(tb * n_hops, hop)
+    partial = jnp.dot(hops, dft_ref[:], preferred_element_type=jnp.float32)
+    partial = partial.reshape(tb, n_hops, k_dft * two_k)
+    reim = partial[:, 0:frames, 0:two_k]
+    for j in range(1, k_dft):
+        reim = reim + partial[:, j : j + frames, j * two_k : (j + 1) * two_k]
+    re = reim[:, :, :num_bins]
+    im = reim[:, :, num_bins:]
+    power = re * re + im * im
+    mel = jnp.dot(
+        power.reshape(tb * frames, num_bins), mel_ref[:],
+        preferred_element_type=jnp.float32,
+    )
+    log_mel = jnp.log(mel + 1e-6)
+    mfcc = jnp.dot(log_mel, dct_ref[:], preferred_element_type=jnp.float32)
+    # [TB, T=frames, C=num_mfcc]: frequency-as-channels (tc_resnet.py:17)
+    x = mfcc.reshape(tb, frames, num_mfcc)
+
+    # ---- conv stack (tc_resnet.py:28-48, BN folded) ----
+    shortcut = None
+    for idx, (role, k, stride, relu) in enumerate(spec_static):
+        w = wrefs[2 * idx][:]
+        b = wrefs[2 * idx + 1][:]
+        if role == "conv0":
+            x = _conv_step(x, w, b, k, stride, relu)
+        elif role == "down":
+            shortcut = _conv_step(x, w, b, k, stride, relu)
+        elif role == "block0":
+            if shortcut is None:
+                shortcut = x  # same-channel block: identity shortcut
+            x = _conv_step(x, w, b, k, stride, relu)
+        else:  # block1: conv (no relu) + residual add + relu
+            x = _conv_step(x, w, b, k, stride, relu)
+            x = jnp.maximum(x + shortcut, 0.0)
+            shortcut = None
+
+    pooled = jnp.mean(x, axis=1)  # global avg pool over time
+    out_ref[:] = jnp.dot(pooled, fc_ref[:], preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# host wrapper
+# ---------------------------------------------------------------------------
+
+
+def build_fused_infer(
+    model_cfg: ModelConfig,
+    audio_cfg: AudioConfig,
+    params,
+    batch_stats,
+    tb: int = 8,
+    interpret: bool = False,
+):
+    """-> infer(wavs [B, N] f32) -> logits [B, num_classes] f32.
+
+    Weights are folded (BN -> scale/bias) once here and baked into the
+    kernel as VMEM-resident constants; the returned callable is pure and
+    jittable (tools/export.py exposes it via --fused-kernel).
+    """
+    assert fused_infer_available(model_cfg, audio_cfg)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = audio_cfg.desired_samples
+    window = audio_cfg.window_size_samples
+    hop = audio_cfg.window_stride_samples
+    fft_length = dsp.fft_length_for(window)
+    num_bins = fft_length // 2 + 1
+    k_dft = window // hop
+    n_hops = n // hop
+    frames = n_hops - k_dft + 1
+    two_k = 2 * num_bins
+    num_mel = audio_cfg.num_mel_bins
+    num_mfcc = audio_cfg.num_mfccs
+    ncls = model_cfg.num_classes
+
+    dft = dsp.windowed_rdft_matrix(window, fft_length)
+    dft_blocks = np.concatenate(
+        [dft[j * hop : (j + 1) * hop] for j in range(k_dft)], axis=1
+    )
+    mel = dsp.linear_to_mel_weight_matrix(
+        num_mel, num_bins, audio_cfg.sample_rate,
+        audio_cfg.lower_edge_hertz, audio_cfg.upper_edge_hertz,
+    )
+    dct = dsp.dct_ii_matrix(num_mel, num_mfcc)
+
+    spec, fc = build_layer_spec(model_cfg, params, batch_stats, num_mfcc)
+    spec_static = tuple((e["role"], e["k"], e["stride"], e["relu"]) for e in spec)
+    weights = []
+    for e in spec:
+        w, b = e["wb"]
+        weights += [jnp.asarray(w), jnp.asarray(b)]
+
+    const_map = lambda i: (0, 0)
+    weight_specs = [
+        pl.BlockSpec(w.shape, const_map, memory_space=pltpu.VMEM)
+        for w in weights
+    ]
+
+    @jax.jit
+    def infer(wavs: jnp.ndarray) -> jnp.ndarray:
+        batch = wavs.shape[0]
+        assert wavs.shape[1] == n
+        tb_eff = min(tb, batch)  # batch-1 latency calls don't pad to tb
+        pad_b = (-batch) % tb_eff
+        if pad_b:
+            wavs = jnp.pad(wavs, ((0, pad_b), (0, 0)))
+        padded_b = wavs.shape[0]
+        hops3 = wavs.astype(jnp.float32).reshape(padded_b, n_hops, hop)
+        kernel = functools.partial(
+            _kernel, tb=tb_eff, spec_static=spec_static, n_hops=n_hops,
+            hop=hop, k_dft=k_dft, num_bins=num_bins, frames=frames,
+            num_mel=num_mel, num_mfcc=num_mfcc,
+        )
+
+        out = pl.pallas_call(
+            kernel,
+            grid=(padded_b // tb_eff,),
+            in_specs=[
+                pl.BlockSpec((tb_eff, n_hops, hop), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((hop, k_dft * two_k), const_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((num_bins, num_mel), const_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((num_mel, num_mfcc), const_map,
+                             memory_space=pltpu.VMEM),
+            ]
+            + weight_specs
+            + [pl.BlockSpec(fc.shape, const_map, memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((tb_eff, ncls), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((padded_b, ncls), jnp.float32),
+            interpret=interpret,
+        )(
+            hops3,
+            jnp.asarray(dft_blocks),
+            jnp.asarray(mel),
+            jnp.asarray(dct),
+            *weights,
+            jnp.asarray(fc),
+        )
+        return out[:batch]
+
+    return infer

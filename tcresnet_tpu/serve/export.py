@@ -29,6 +29,8 @@ def build_inference_fn(
     variables,
     include_preprocess: bool = True,
     use_ema: bool = False,
+    backend: str = "xla",
+    _interpret: bool = False,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Pure wav->softmax (or features->softmax) function, params folded in.
 
@@ -36,6 +38,17 @@ def build_inference_fn(
     `include_preprocess=True` mirrors build_deployable_model's in-graph
     preprocessing variant (factory/audio_nets.py:87-104); False expects
     precomputed [B,H,W,1] features (:105-124).
+
+    backend:
+      "xla"   — preprocess + model.apply under jit (default; defines the
+                BASELINE.md <=1e-5 AOT-parity gate vs the training graph).
+      "fused" — the whole-model single-kernel path (ops/pallas/infer.py):
+                wav->logits in ONE Pallas call, BN folded, weights
+                VMEM-resident. TC-ResNet temporal family only, requires
+                include_preprocess; ~50-65x lower batch-1 device latency,
+                and closer to the highest-precision reference than the
+                XLA path's default-precision convs (docs/BENCH_RESULTS.md).
+      "auto"  — "fused" when supported, else "xla".
     """
     if hasattr(variables, "params"):
         params = variables.eval_params if use_ema else variables.params
@@ -43,6 +56,41 @@ def build_inference_fn(
     else:
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+
+    if backend in ("fused", "auto"):
+        from tcresnet_tpu.ops.pallas.infer import (
+            build_fused_infer,
+            fused_infer_available,
+        )
+
+        supported = include_preprocess and fused_infer_available(
+            cfg.model, cfg.audio
+        )
+        if backend == "fused" and not supported:
+            raise ValueError(
+                "backend='fused' needs include_preprocess and a supported "
+                f"model/feature geometry (model={cfg.model.name})"
+            )
+        if backend == "auto":
+            # Mosaic lowers on TPU only; honor a pinned default device
+            # (hermeticity w.r.t. registered TPU plugins, CLAUDE.md).
+            default_dev = jax.config.jax_default_device
+            platform = (
+                default_dev.platform
+                if default_dev is not None
+                else jax.default_backend()
+            )
+            supported = supported and platform == "tpu"
+        if supported:
+            fused = build_fused_infer(
+                cfg.model, cfg.audio, params, batch_stats,
+                interpret=_interpret,
+            )
+
+            def infer_fused(x: jnp.ndarray) -> jnp.ndarray:
+                return jax.nn.softmax(fused(x), axis=-1)
+
+            return infer_fused
 
     model = build_model(cfg.model, dsp.feature_shape(cfg.audio), cfg.train.compute_dtype)
     bound = {"params": params, "batch_stats": batch_stats}

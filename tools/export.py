@@ -39,6 +39,9 @@ def parse_args(argv=None):
     p.add_argument("--best-metric", default=None,
                    help="load the promoted best ckpt for this metric "
                         "(e.g. accuracy) instead of the latest")
+    p.add_argument("--fused-kernel", action="store_true",
+                   help="serve via the whole-model single-kernel path "
+                        "(ops/pallas/infer.py; TC-ResNet + MFCC only)")
     return p.parse_args(argv)
 
 
@@ -120,6 +123,18 @@ def main(argv=None):
         Path(args.output).write_bytes(bytes(data))
         log.info(f"Wrote {len(data)} bytes to {args.output}")
 
+    fused_fn = None
+    if args.fused_kernel:
+        fused_fn = build_inference_fn(
+            cfg, state, include_preprocess, args.use_ema, backend="fused"
+        )
+        fused = np.asarray(fused_fn(x))
+        log.info(
+            "fused-kernel softmax vs XLA path: max abs "
+            f"{np.abs(fused - ref).max():.2e} (exact in f32; on TPU the "
+            "XLA path's default-precision convs round differently)"
+        )
+
     if args.benchmark:
         stats = benchmark_compiled(compiled, x)
         log.info(f"host-timed latency (us): {format_report(stats)}")
@@ -128,6 +143,12 @@ def main(argv=None):
             f"device latency (us): count={dev['count']:.0f} "
             f"avg={dev['avg']:.2f}  (tunnel-free, fori_loop-diffed)"
         )
+        if fused_fn is not None:
+            fdev = benchmark_on_device(fused_fn, x)
+            log.info(
+                f"fused-kernel device latency (us): count={fdev['count']:.0f} "
+                f"avg={fdev['avg']:.2f}"
+            )
 
 
 if __name__ == "__main__":

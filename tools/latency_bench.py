@@ -72,15 +72,27 @@ def main(argv=None):
             "input": "x".join(map(str, in_shape)),
             "device_avg_us": round(dev["avg"], 2),
         }
+        from tcresnet_tpu.ops.pallas.infer import fused_infer_available
+
+        if args.include_preprocess and fused_infer_available(cfg.model, cfg.audio):
+            fused_fn = build_inference_fn(
+                cfg, dict(variables), include_preprocess=True, backend="fused"
+            )
+            fdev = benchmark_on_device(fused_fn, x, num_runs=args.num_runs)
+            row["fused_kernel_avg_us"] = round(fdev["avg"], 2)
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    print("\n| model | params | input | device avg µs |")
-    print("|---|---|---|---|")
+    print("\n| model | params | input | device avg µs | fused kernel µs |")
+    print("|---|---|---|---|---|")
     for r in rows:
+        fused = (
+            f"{r['fused_kernel_avg_us']:.2f}"
+            if "fused_kernel_avg_us" in r else "—"
+        )
         print(
             f"| {r['model']} | {r['params']:,} | {r['input']} "
-            f"| {r['device_avg_us']:.2f} |"
+            f"| {r['device_avg_us']:.2f} | {fused} |"
         )
 
 
