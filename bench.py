@@ -47,6 +47,8 @@ def main(argv=None):
                    choices=["xla", "pallas", "auto"])
     p.add_argument("--frontend", default="auto", choices=["auto", "on", "off"],
                    help="single-kernel gather+augment+MFCC input path")
+    p.add_argument("--conv-backend", default="xla", choices=["xla", "pallas"],
+                   help="temporal-conv implementation (ops/pallas/tconv.py)")
     args = p.parse_args(argv)
 
     cfg = get_preset("TCResNet8-1.0")
@@ -61,6 +63,7 @@ def main(argv=None):
         audio=dataclasses.replace(
             cfg.audio, dsp_backend=args.dsp_backend, frontend_fuse=args.frontend
         ),
+        model=dataclasses.replace(cfg.model, conv_backend=args.conv_backend),
     )
 
     # Speech-Commands-scale dataset resident in HBM (24k utterances).

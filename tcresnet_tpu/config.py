@@ -121,6 +121,16 @@ class ModelConfig:
     # reference default (0.997 TC-ResNet/Res, 0.96 DS-CNN). Short runs
     # (e.g. convergence tests) need a faster decay for usable eval stats.
     bn_momentum: "float | None" = None
+    # Temporal (k x 1) conv implementation for the TC-ResNet family:
+    # "xla" (default) or "pallas" — custom fwd+bwd kernels
+    # (ops/pallas/tconv.py, the BASELINE.json north-star capability,
+    # exact fwd/bwd parity with XLA). For TRAINING the XLA path is ~10x
+    # faster (per-conv pallas_calls break XLA's BN/ReLU epilogue fusion
+    # and run true f32 — docs/BENCH_RESULTS.md), so "pallas" is a parity
+    # surface, not a perf default; the perf-winning fusions live at the
+    # pipeline level (ops/pallas/frontend.py, ops/pallas/infer.py).
+    # "pallas-interpret" runs the kernels interpreted (tests).
+    conv_backend: str = "xla"
 
 
 @dataclass(frozen=True)

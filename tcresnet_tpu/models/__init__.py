@@ -36,7 +36,7 @@ def _tcresnet8(cfg, shape, dtype):
     return tc_resnet.tc_resnet8(
         cfg.num_classes, cfg.width_multiplier,
         dropout_keep_prob=cfg.dropout_keep_prob, bn_momentum=cfg.bn_momentum,
-        dtype=dtype,
+        dtype=dtype, conv_backend=getattr(cfg, "conv_backend", "xla"),
     )
 
 
@@ -45,7 +45,7 @@ def _tcresnet14(cfg, shape, dtype):
     return tc_resnet.tc_resnet14(
         cfg.num_classes, cfg.width_multiplier,
         dropout_keep_prob=cfg.dropout_keep_prob, bn_momentum=cfg.bn_momentum,
-        dtype=dtype,
+        dtype=dtype, conv_backend=getattr(cfg, "conv_backend", "xla"),
     )
 
 

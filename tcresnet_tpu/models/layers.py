@@ -29,6 +29,29 @@ glorot_uniform = nn.initializers.glorot_uniform
 truncated_normal = nn.initializers.truncated_normal
 
 
+class PallasTemporalConv(nn.Module):
+    """k x 1 conv via the Pallas fwd+bwd kernels (ops/pallas/tconv.py).
+
+    Parameter name/shape ("kernel", [k, 1, Cin, Cout]) matches nn.Conv,
+    so checkpoints are interchangeable between conv backends."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    stride: int
+    kernel_init: Any
+    interpret: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from tcresnet_tpu.ops.pallas.tconv import pallas_temporal_conv
+
+        kern = self.param(
+            "kernel", self.kernel_init,
+            (self.kernel_size[0], 1, x.shape[-1], self.features),
+        )
+        return pallas_temporal_conv(x, kern, self.stride, interpret=self.interpret)
+
+
 def slim_conv(
     x: jnp.ndarray,
     features: int,
@@ -42,8 +65,27 @@ def slim_conv(
     feature_group_count: int = 1,
     dtype: Optional[Dtype] = None,
     kernel_init=None,
+    conv_backend: str = "xla",
 ) -> jnp.ndarray:
     """Bare conv (no BN/act), slim-equivalent defaults."""
+    temporal = (
+        kernel[1] == 1
+        and stride[1] == 1
+        and kernel_dilation == (1, 1)
+        and feature_group_count == 1
+        and not use_bias
+        and padding == "SAME"
+        and x.shape[-2] == 1
+    )
+    if conv_backend.startswith("pallas") and temporal:
+        return PallasTemporalConv(
+            features=features,
+            kernel_size=kernel,
+            stride=stride[0],
+            kernel_init=kernel_init or glorot_uniform(),
+            interpret=conv_backend == "pallas-interpret",
+            name=name,
+        )(x)
     return nn.Conv(
         features=features,
         kernel_size=kernel,

@@ -42,10 +42,14 @@ class TCResNet(nn.Module):
     dropout_keep_prob: float = 0.5
     bn_momentum: Optional[float] = None  # None -> reference decay 0.997
     dtype: Optional[Any] = None
+    # "xla" | "pallas" | "pallas-interpret": temporal-conv implementation
+    # (ops/pallas/tconv.py custom fwd+bwd kernels when "pallas*")
+    conv_backend: str = "xla"
 
     def _conv_bn(self, x, features, kernel, stride, name, training, relu=True):
         x = layers.slim_conv(
-            x, features, kernel, stride, name=f"{name}_conv", dtype=self.dtype
+            x, features, kernel, stride, name=f"{name}_conv", dtype=self.dtype,
+            conv_backend=self.conv_backend,
         )
         x = layers.slim_batch_norm(
             x, training=training, name=f"{name}_bn",
