@@ -221,12 +221,17 @@ def build_fused_infer(
     batch_stats,
     tb: int = 8,
     interpret: bool = False,
+    mesh=None,
 ):
     """-> infer(wavs [B, N] f32) -> logits [B, num_classes] f32.
 
     Weights are folded (BN -> scale/bias) once here and baked into the
     kernel as VMEM-resident constants; the returned callable is pure and
-    jittable (tools/export.py exposes it via --fused-kernel).
+    jittable (tools/export.py exposes it via --fused-kernel). With a
+    multi-device `mesh` the kernel runs per-shard under shard_map with
+    the batch sharded over the `data` axis (custom calls cannot be
+    partitioned by plain jit), when the batch divides evenly; otherwise
+    it falls back to the single-device call.
     """
     assert fused_infer_available(model_cfg, audio_cfg)
     from jax.experimental import pallas as pl
@@ -268,8 +273,7 @@ def build_fused_infer(
         for w in weights
     ]
 
-    @jax.jit
-    def infer(wavs: jnp.ndarray) -> jnp.ndarray:
+    def _infer_local(wavs: jnp.ndarray) -> jnp.ndarray:
         batch = wavs.shape[0]
         assert wavs.shape[1] == n
         tb_eff = min(tb, batch)  # batch-1 latency calls don't pad to tb
@@ -312,5 +316,20 @@ def build_fused_infer(
             jnp.asarray(fc),
         )
         return out[:batch]
+
+    @jax.jit
+    def infer(wavs: jnp.ndarray) -> jnp.ndarray:
+        if mesh is not None and mesh.devices.size > 1:
+            n_data = mesh.shape["data"]
+            if wavs.shape[0] % (n_data * tb) == 0:
+                from jax.experimental.shard_map import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                return shard_map(
+                    _infer_local, mesh=mesh,
+                    in_specs=(P("data"),), out_specs=P("data"),
+                    check_rep=False,
+                )(wavs)
+        return _infer_local(wavs)
 
     return infer

@@ -173,6 +173,42 @@ def test_frontend_shard_map_equivalence(mesh8):
     np.testing.assert_array_equal(sharded, plain)
 
 
+def test_fused_infer_shard_map_equivalence(mesh8):
+    """Whole-model inference kernel under shard_map on the 8-device CPU
+    mesh (interpret mode) == unsharded bit-for-bit."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tcresnet_tpu.config import AudioConfig, ModelConfig
+    from tcresnet_tpu.models import build_model
+    from tcresnet_tpu.ops import dsp
+    from tcresnet_tpu.ops.pallas.infer import build_fused_infer
+
+    rng = np.random.default_rng(14)
+    audio_cfg = AudioConfig(clip_duration_ms=160, num_mfccs=20, num_mel_bins=32)
+    model_cfg = ModelConfig(name="TCResNet8", num_classes=4)
+    feat = dsp.feature_shape(audio_cfg)
+    model = build_model(model_cfg, feat, "float32")
+    v = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        jnp.zeros((2,) + feat, jnp.float32), training=True,
+    )
+    wavs = rng.uniform(-1, 1, (16, audio_cfg.desired_samples)).astype(np.float32)
+
+    sharded_fn = build_fused_infer(
+        model_cfg, audio_cfg, v["params"], v["batch_stats"],
+        tb=2, interpret=True, mesh=mesh8,
+    )
+    plain_fn = build_fused_infer(
+        model_cfg, audio_cfg, v["params"], v["batch_stats"], tb=2, interpret=True,
+    )
+    xd = jax.device_put(wavs, NamedSharding(mesh8, P("data")))
+    with mesh8:
+        sharded = np.asarray(sharded_fn(xd))
+    plain = np.asarray(plain_fn(jnp.asarray(wavs)))
+    np.testing.assert_array_equal(sharded, plain)
+
+
 def test_fused_mfcc_shard_map_equivalence(mesh8):
     """Sharded fused MFCC == unsharded (interpret mode, 8 CPU devices)."""
     import jax.numpy as jnp
