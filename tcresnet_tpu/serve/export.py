@@ -48,7 +48,10 @@ def build_inference_fn(
                 include_preprocess; ~50-65x lower batch-1 device latency,
                 and closer to the highest-precision reference than the
                 XLA path's default-precision convs (docs/BENCH_RESULTS.md).
-      "auto"  — "fused" when supported, else "xla".
+      "auto"  — on TPU with a supported model, pick per traced batch
+                size: fused at <=32 (latency-optimal), XLA above (the
+                fused kernel's per-sample conv chain doesn't batch its
+                matmuls — 912k vs 217k utt/s @1024); else "xla".
     """
     if hasattr(variables, "params"):
         params = variables.eval_params if use_ema else variables.params
@@ -87,11 +90,31 @@ def build_inference_fn(
                 interpret=_interpret,
             )
 
-            def infer_fused(x: jnp.ndarray) -> jnp.ndarray:
-                return jax.nn.softmax(fused(x), axis=-1)
+            if backend == "fused":
+                def infer_fused(x: jnp.ndarray) -> jnp.ndarray:
+                    return jax.nn.softmax(fused(x), axis=-1)
 
-            return infer_fused
+                return infer_fused
 
+            # auto: the fused kernel is latency-optimal (6-16 us at batch
+            # 1 vs ~380 us) but its per-sample conv chain doesn't batch
+            # the matmuls, so the XLA path wins throughput at large batch
+            # (912k vs 217k utt/s @1024 — docs/BENCH_RESULTS.md);
+            # measured crossover ~batch 32. Batch size is static under
+            # jit, so this picks per trace.
+            xla_fn = _build_xla_infer(cfg, params, batch_stats, include_preprocess)
+
+            def infer_auto(x: jnp.ndarray) -> jnp.ndarray:
+                if x.shape[0] <= 32:
+                    return jax.nn.softmax(fused(x), axis=-1)
+                return xla_fn(x)
+
+            return infer_auto
+
+    return _build_xla_infer(cfg, params, batch_stats, include_preprocess)
+
+
+def _build_xla_infer(cfg, params, batch_stats, include_preprocess):
     model = build_model(cfg.model, dsp.feature_shape(cfg.audio), cfg.train.compute_dtype)
     bound = {"params": params, "batch_stats": batch_stats}
 
