@@ -169,6 +169,12 @@ class TrainConfig:
     # Stop after this many epochs (num_samples // batch_size steps each)
     # if reached before max_step; 0 disables (helper/trainer.py:419-425).
     max_epoch: int = 0
+    # FROM-RESTORE stop conditions (reference semantics, helper/
+    # trainer.py:419-425,499-506): counted from the step THIS process
+    # restored at, not from 0 — a resumed run trains this many more
+    # steps/epochs. 0 disables.
+    max_step_from_restore: int = 0
+    max_epoch_from_restore: int = 0
     step_save_checkpoint: int = 500
     step_evaluation: int = 500
     step_minimum_save: int = 0
@@ -182,6 +188,9 @@ class TrainConfig:
     # Compute dtype for conv/matmul inside the model ("bfloat16" uses the
     # MXU's native precision; params/batch-stats stay fp32).
     compute_dtype: str = "float32"
+    # Train-stream sanity-eval sample count = this * num_classes
+    # (reference --class_sampling_factor, helper/trainer.py:507,589-592).
+    class_sampling_factor: int = 20
 
 
 @dataclass(frozen=True)

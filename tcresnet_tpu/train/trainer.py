@@ -389,6 +389,16 @@ class Trainer:
             # one epoch = num_samples // batch_size steps
             max_step = min(max_step, cfg.max_epoch * self._steps_per_epoch)
         start = self.maybe_restore()
+        # FROM-RESTORE stops (reference helper/trainer.py:419-425): the
+        # budget counts from THIS process's restore point, so a resumed
+        # run trains that much more regardless of the absolute step.
+        if cfg.max_step_from_restore > 0:
+            max_step = min(max_step, start + cfg.max_step_from_restore)
+        if cfg.max_epoch_from_restore > 0:
+            max_step = min(
+                max_step,
+                start + cfg.max_epoch_from_restore * self._steps_per_epoch,
+            )
         if start >= max_step:
             self.log.info(f"Already at step {start} >= {max_step}")
             return self.state
@@ -495,9 +505,21 @@ class Trainer:
             # NOTE: dataset arrays must be jit ARGUMENTS — closing over
             # them would bake the (possibly GB-scale) HBM arrays into the
             # HLO as constants and stall compilation.
+            # sample count = class_sampling_factor * num_classes
+            # (reference helper/trainer.py:589-592), padded up to the
+            # mesh's data-axis multiple
+            n_eval = max(
+                self.cfg.train.class_sampling_factor
+                * self.cfg.model.num_classes,
+                1,
+            )
+            if self.mesh is not None:
+                n_data = self.mesh.shape.get("data", 1)
+                n_eval += (-n_eval) % n_data
+
             def eval_batch(state, arrays, key):
                 wavs, labels, silent = DeviceDataset.sample_batch(
-                    arrays, key, self.cfg.data.eval_batch_size, self.mesh,
+                    arrays, key, n_eval, self.mesh,
                     clip_len=self.cfg.audio.desired_samples,
                 )
                 wavs = jnp.where(silent[:, None], 0.0, wavs)

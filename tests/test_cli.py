@@ -28,6 +28,31 @@ def test_config_overrides():
     assert cfg.data.use_synthetic
 
 
+def test_generic_cfg_overrides():
+    """--cfg section.field=value reaches any config field (the
+    dataclass-era equivalent of the reference's per-field flags)."""
+    import pytest
+
+    args = parse_args([
+        "--preset", "TCResNet8-1.0", "--synthetic",
+        "--cfg", "train.max_step_from_restore=123",
+        "--cfg", "optim.lr_list=[0.5,0.05]",
+        "--cfg", "optim.optimizer=adam",
+        "--cfg", "train.class_sampling_factor=7",
+    ])
+    cfg = build_config(args)
+    assert cfg.train.max_step_from_restore == 123
+    assert cfg.optim.lr_list == (0.5, 0.05)
+    assert cfg.optim.optimizer == "adam"
+    assert cfg.train.class_sampling_factor == 7
+
+    bad = parse_args(
+        ["--preset", "TCResNet8-1.0", "--synthetic", "--cfg", "train.nope=1"]
+    )
+    with pytest.raises(SystemExit):
+        build_config(bad)
+
+
 def test_train_then_evaluate_cli(tmp_path):
     """Full CLI round trip: train -> checkpoint -> eval once."""
     run = str(tmp_path / "run")

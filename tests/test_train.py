@@ -238,6 +238,61 @@ def test_max_epoch_stop(tmp_path, tiny_data):
     assert int(state.step) == 16
 
 
+def test_max_step_from_restore(tmp_path, tiny_data):
+    """From-restore stop counts from THIS process's restore point
+    (reference helper/trainer.py:419-425): a resumed run with
+    max_step_from_restore=N trains exactly N more steps."""
+    import dataclasses
+
+    cfg = tiny_config(tmp_path / "run", max_step=20)
+    tr1 = Trainer(cfg, DeviceDataset(tiny_data), workdir=tmp_path / "run")
+    tr1.train()
+    assert int(tr1.state.step) == 20
+
+    cfg2 = tiny_config(tmp_path / "run", max_step=1000)
+    cfg2 = cfg2.replace(
+        train=dataclasses.replace(cfg2.train, max_step=1000, max_step_from_restore=7)
+    )
+    tr2 = Trainer(cfg2, DeviceDataset(tiny_data), workdir=tmp_path / "run")
+    state = tr2.train()
+    assert int(state.step) == 27  # 20 restored + 7 from restore
+
+    # epoch variant: 256/32 = 8 steps per epoch
+    cfg3 = tiny_config(tmp_path / "run", max_step=1000)
+    cfg3 = cfg3.replace(
+        train=dataclasses.replace(cfg3.train, max_step=1000, max_epoch_from_restore=1)
+    )
+    tr3 = Trainer(cfg3, DeviceDataset(tiny_data), workdir=tmp_path / "run")
+    state = tr3.train()
+    assert int(state.step) == 27 + 8
+
+
+def test_train_stream_eval_sample_count(tmp_path, tiny_data, caplog):
+    """Train-stream eval draws class_sampling_factor*num_classes samples
+    (reference --class_sampling_factor, helper/trainer.py:589-592)."""
+    import dataclasses
+
+    cfg = tiny_config(tmp_path / "run", max_step=2)
+    cfg = cfg.replace(
+        train=dataclasses.replace(cfg.train, class_sampling_factor=5)
+    )
+    tr = Trainer(cfg, DeviceDataset(tiny_data), workdir=tmp_path / "run")
+    captured = {}
+    orig = DeviceDataset.sample_batch
+
+    def spy(arrays, key, batch, mesh=None, clip_len=None):
+        captured["n"] = batch
+        return orig(arrays, key, batch, mesh, clip_len=clip_len)
+
+    DeviceDataset.sample_batch = staticmethod(spy)
+    try:
+        tr.train()
+        tr._train_stream_eval(2)
+    finally:
+        DeviceDataset.sample_batch = staticmethod(orig)
+    assert captured["n"] == 5 * 4  # factor * num_classes
+
+
 def test_eval_loss_excludes_padded_rows(tiny_data):
     """Eval loss must be the exact mean over true samples regardless of
     the batch size's padding of the final partial batch."""

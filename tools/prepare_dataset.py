@@ -75,7 +75,13 @@ def main(argv=None):
                    help="unknown samples as %% of keyword count per split")
     p.add_argument("--seed", type=int, default=59185, help="unknown subsample seed")
     p.add_argument("--copy", action="store_true", help="copy instead of symlink")
+    p.add_argument("--wanted-words", default=",".join(KEYWORDS),
+                   help="comma-separated keyword classes; other words "
+                        "become 'unknown' (reference --wanted_words, "
+                        "scripts/google_speech_commmands_dataset_to_our_"
+                        "format.py:31)")
     args = p.parse_args(argv)
+    keywords = tuple(w for w in args.wanted_words.split(",") if w)
 
     if args.extracted:
         src = Path(args.extracted)
@@ -123,7 +129,7 @@ def main(argv=None):
             word = label_dir.name
             for wav in sorted(label_dir.glob("*.wav")):
                 split = which_set(wav.name, args.validation_pct, args.testing_pct)
-                if word in KEYWORDS:
+                if word in keywords:
                     assignments.append((split, word, wav.name, wav))
                     keyword_counts[split] += 1
                 else:

@@ -77,7 +77,36 @@ def parse_args(argv=None):
                    help="cpu: pin to host CPU devices (used by the "
                         "orchestrator to keep the loop evaluator off the "
                         "training chip)")
+    p.add_argument("--cfg", action="append", default=[],
+                   metavar="SECTION.FIELD=VALUE",
+                   help="generic config override, e.g. --cfg "
+                        "train.max_step_from_restore=1000 --cfg "
+                        "optim.lr_list='[0.1,0.01]' (JSON values; the "
+                        "dataclass-era equivalent of the reference's "
+                        "per-field argparse flags)")
     return p.parse_args(argv)
+
+
+def apply_cfg_overrides(cfg, items):
+    """Apply SECTION.FIELD=VALUE overrides; unknown fields raise."""
+    import json
+
+    for item in items:
+        path, sep, raw = item.partition("=")
+        if not sep:
+            raise SystemExit(f"--cfg expects SECTION.FIELD=VALUE, got {item!r}")
+        section, sep2, field = path.partition(".")
+        sub = getattr(cfg, section, None)
+        if not sep2 or sub is None or not hasattr(sub, field):
+            raise SystemExit(f"Unknown config field {path!r}")
+        try:
+            val = json.loads(raw)
+        except json.JSONDecodeError:
+            val = raw  # bare strings, e.g. optim.optimizer=adam
+        if isinstance(val, list):
+            val = tuple(val)
+        cfg = cfg.replace(**{section: dataclasses.replace(sub, **{field: val})})
+    return cfg
 
 
 def select_devices(device: str):
@@ -127,6 +156,8 @@ def build_config(args):
         cfg = cfg.replace(
             augment=dataclasses.replace(cfg.augment, num_silent=args.num_silent)
         )
+    if getattr(args, "cfg", None):
+        cfg = apply_cfg_overrides(cfg, args.cfg)
     if "%" in cfg.train.train_dir:
         cfg = cfg.replace(
             train=dataclasses.replace(
