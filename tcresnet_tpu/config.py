@@ -207,6 +207,13 @@ class DataConfig:
     eval_batch_size: int = 512
     use_synthetic: bool = False
     synthetic_num_samples: int = 4096
+    # Per-class P/R/F1/AP metrics are computed only when the label count
+    # is below this (reference --maximum_num_labels_for_metric,
+    # metrics/manager.py:9-46; default 10).
+    max_labels_for_class_metrics: int = 10
+    # Metric names dropped from eval results (reference
+    # --exclude_metric_names, metrics/base.py registry exclusion).
+    exclude_metric_names: Tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)

@@ -101,6 +101,14 @@ class BestKeeper:
             # export/eval CLIs restore promoted bests identically;
             # max_to_keep=1 garbage-collects the previously promoted step.
             mgr = CheckpointManager(self._metric_dir(metric), max_to_keep=1)
+            if step in mgr.all_steps():
+                # re-evaluating an already-promoted step (e.g. a fresh
+                # `evaluate.py --valid-type once` over a finished run):
+                # the promoted copy is this same state — orbax writes
+                # atomically, so an existing step dir is complete, and
+                # re-saving it would raise StepAlreadyExistsError.
+                mgr.close()
+                continue
             mgr.save(step, state, force=True)
             mgr.wait()
             mgr.close()

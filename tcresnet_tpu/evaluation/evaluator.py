@@ -111,11 +111,12 @@ class Evaluator:
 
         scores = np.concatenate(all_scores)
         labels = np.concatenate(all_labels)
+        max_labels = getattr(self.cfg.data, "max_labels_for_class_metrics", 10)
         metrics = compute_classification_metrics(
             scores,
             labels,
             self.data.label_names,
-            use_class_metrics=len(self.data.label_names) < 10,
+            use_class_metrics=len(self.data.label_names) < max_labels,
             include_report=include_report,
         )
         # exact mean over true samples (padded rows masked out above)
@@ -125,4 +126,6 @@ class Evaluator:
         steady = infer_times[1:] or infer_times
         metrics["batch_infer_time"] = float(np.mean(steady))
         metrics["unit_infer_time"] = float(np.mean(steady)) / batch
+        for name in getattr(self.cfg.data, "exclude_metric_names", ()):
+            metrics.pop(name, None)
         return metrics

@@ -358,3 +358,40 @@ def test_eval_padding_masks_partial_batch(tiny_data):
     )
     metrics = ev.evaluate(state)
     assert metrics["num_samples"] == 256
+
+
+def test_eval_metric_gating_and_exclusion(tiny_data):
+    """maximum_num_labels_for_metric + exclude_metric_names parity
+    (reference metrics/manager.py:9-46, metrics/base.py exclusion)."""
+    import dataclasses
+
+    from tcresnet_tpu.train.state import create_train_state
+    from tcresnet_tpu.train.optim import build_optimizer
+    from tcresnet_tpu.models import build_model
+    from tcresnet_tpu.ops import dsp
+
+    cfg = tiny_config("/tmp/unused3")
+    dd = DeviceDataset(tiny_data)
+    model = build_model(cfg.model, dsp.feature_shape(cfg.audio))
+    tx, _ = build_optimizer(cfg.optim)
+    state = create_train_state(
+        model, tx, jax.random.key(0),
+        jnp.zeros((2,) + dsp.feature_shape(cfg.audio), jnp.float32),
+    )
+
+    # 4 labels < default 10 -> per-class metrics present
+    base = Evaluator(cfg, dd).evaluate(state)
+    assert any(k.startswith("class/") or "precision" in k for k in base)
+
+    # lowering the gate below the label count removes them; exclusion
+    # drops named metrics from the result dict
+    cfg2 = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data,
+            max_labels_for_class_metrics=3,
+            exclude_metric_names=("top5_accuracy",),
+        )
+    )
+    gated = Evaluator(cfg2, dd).evaluate(state)
+    assert not any(k.startswith("class/") or "f1" in k for k in gated)
+    assert "top5_accuracy" not in gated and "accuracy" in gated

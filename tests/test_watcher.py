@@ -71,6 +71,29 @@ def test_promotion_survives_checkpoint_gc(tmp_path):
     assert int(restored.step) == 30
 
 
+def test_repromoting_same_step_is_idempotent(tmp_path):
+    """Re-evaluating an already-promoted step (fresh evaluate.py over a
+    finished run, resumed scores.tsv) must not crash on orbax's
+    StepAlreadyExistsError — the promoted copy IS this state."""
+    host = make_synthetic_dataset(num_samples=64, num_classes=4, desired_samples=4000, seed=8)
+    valid = make_synthetic_dataset(num_samples=32, num_classes=4, desired_samples=4000, seed=9)
+    cfg = tiny_config(tmp_path / "run", max_step=10)
+    trainer = Trainer(cfg, DeviceDataset(host), workdir=tmp_path / "run")
+    trainer.train()
+    trainer.ckpt.wait()
+
+    valid.split = "valid"
+    w1 = WatchingEvaluator(cfg, DeviceDataset(valid), tmp_path / "run")
+    w1.evaluate_once(10)
+    # fresh watcher (fresh BestKeeper resume) forced to re-promote the
+    # same step: pretend the recorded best was worse
+    w2 = WatchingEvaluator(cfg, DeviceDataset(valid), tmp_path / "run")
+    w2.best_keeper.metric_best["accuracy"] = 0.0
+    w2.evaluate_once(10)  # must not raise
+    best = w2.best_keeper.best_checkpoint_dir("accuracy")
+    assert best is not None and best.name == "10"
+
+
 def test_save_best_raises_when_source_gone(tmp_path):
     from tcresnet_tpu.evaluation.best_keeper import BestKeeper
     import pytest
