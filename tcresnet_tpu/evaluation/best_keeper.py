@@ -67,6 +67,12 @@ class BestKeeper:
         keep = {}
         any_keep = False
         for metric in self.modes:
+            if metric not in eval_scores:
+                # a tracked metric can be absent (e.g. listed in
+                # DataConfig.exclude_metric_names) — don't crash the
+                # eval pass over it
+                keep[metric] = False
+                continue
             score = eval_scores[metric]
             if self._better(metric, score, self.metric_best[metric]):
                 self.log.info(
