@@ -70,7 +70,13 @@ class BestKeeper:
             if metric not in eval_scores:
                 # a tracked metric can be absent (e.g. listed in
                 # DataConfig.exclude_metric_names) — don't crash the
-                # eval pass over it
+                # eval pass, but say so: a typo'd metric name would
+                # otherwise silently never promote anything
+                self.log.warning(
+                    f"[KeepBest/{self.dataset_name}] tracked metric "
+                    f"{metric!r} missing from eval results "
+                    f"(available: {sorted(eval_scores)[:8]}...) — not promoting"
+                )
                 keep[metric] = False
                 continue
             score = eval_scores[metric]
@@ -108,13 +114,14 @@ class BestKeeper:
             # max_to_keep=1 garbage-collects the previously promoted step.
             mgr = CheckpointManager(self._metric_dir(metric), max_to_keep=1)
             if step in mgr.all_steps():
-                # re-evaluating an already-promoted step (e.g. a fresh
-                # `evaluate.py --valid-type once` over a finished run):
-                # the promoted copy is this same state — orbax writes
-                # atomically, so an existing step dir is complete, and
-                # re-saving it would raise StepAlreadyExistsError.
-                mgr.close()
-                continue
+                # Re-promoting an existing step (fresh `evaluate.py
+                # --valid-type once` over a finished run, or a RETRAINED
+                # run reusing the train_dir without clearing best/):
+                # orbax raises StepAlreadyExistsError even with
+                # force=True, and skipping could silently keep a STALE
+                # previous-run checkpoint — delete and rewrite the
+                # just-evaluated state instead.
+                mgr.delete(step)
             mgr.save(step, state, force=True)
             mgr.wait()
             mgr.close()

@@ -79,6 +79,39 @@ def _roll_flat_2d(x, s, pltpu):
     return jnp.where(b_idx >= r, ly, lz)
 
 
+def sample_positions(a_rows: int):
+    """Flat sample position of each [1, A, 128] element."""
+    return (
+        jax.lax.broadcasted_iota(jnp.int32, (1, a_rows, _LANES), 1) * _LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (1, a_rows, _LANES), 2)
+    )
+
+
+def shift_row(wav3, s_signed, keep, pos, p: int, pltpu):
+    """Shift one [1, A, 128] row: rotate by the signed sample shift, mask
+    the wrapped/shifted-out region, zero silence rows (keep=0). Pure jnp
+    on values — the SINGLE implementation of the augment shift phase,
+    shared by every kernel that fuses it (this module's v4/v5 kernels and
+    ops/pallas/frontend.py)."""
+    s = jax.lax.rem(s_signed + p, p)  # [0, p)
+    rolled = _roll_flat_2d(wav3, s, pltpu)
+    valid = (pos >= s_signed) & (pos < p + s_signed)
+    return rolled * valid.astype(jnp.float32) * keep
+
+
+def mix_crop_row(shifted3, scratch, rem, vol, a_rows: int, crop_rolls: bool, pltpu):
+    """Mix the DMA'd noise crop into one shifted [1, A, 128] row at
+    volume `vol` (remainder-rolling the 8-row-aligned window in exact
+    mode) and clip to [-1, 1]. The single implementation of the augment
+    mix phase (see shift_row)."""
+    sc3 = scratch[:, :].reshape(1, *scratch.shape)
+    if crop_rolls:
+        total = scratch.shape[0] * _LANES
+        sc3 = _roll_flat_2d(sc3, jax.lax.rem(-rem + total, total), pltpu)
+    crop = sc3[:, :a_rows, :]
+    return jnp.clip(shifted3 + vol * crop, -1.0, 1.0)
+
+
 def _kernel(
     shift_ref,  # [B] int32   (scalar prefetch; signed sample shift)
     srow_ref,   # [B] int32   (crop start row in the 2D bank, 8-aligned)
@@ -112,37 +145,22 @@ def _kernel(
     for r in range(_TB):
         crop_dma(r).start()
 
-    # flat sample position of each [1, A, 128] element (shared)
-    pos = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, a_rows, _LANES), 1) * _LANES
-        + jax.lax.broadcasted_iota(jnp.int32, (1, a_rows, _LANES), 2)
-    )
+    pos = sample_positions(a_rows)
 
-    # per-row shift: rotate, mask the wrapped/shifted-out region, zero
-    # silence rows; every op is a full-width [1, A, 128] VPU op
+    # per-row shift phase; every op is a full-width [1, A, 128] VPU op
     for r in range(_TB):
         b = i * _TB + r
-        s_signed = shift_ref[b]
-        s = jax.lax.rem(s_signed + p, p)  # [0, p)
-        rolled = _roll_flat_2d(wav_ref[r : r + 1, :, :], s, pltpu)
-        valid = (pos >= s_signed) & (pos < p + s_signed)
-        out_ref[r : r + 1] = rolled * valid.astype(jnp.float32) * keep_ref[b]
+        out_ref[r : r + 1] = shift_row(
+            wav_ref[r : r + 1, :, :], shift_ref[b], keep_ref[b], pos, p, pltpu
+        )
 
     # per-row crop mix + clip
     for r in range(_TB):
         b = i * _TB + r
         crop_dma(r).wait()
-        sc3 = scratches[r][:, :].reshape(1, *scratches[r].shape)
-        if crop_rolls:
-            total = scratches[r].shape[0] * _LANES
-            rolled = _roll_flat_2d(
-                sc3, jax.lax.rem(-rem_ref[b] + total, total), pltpu
-            )
-            crop = rolled[:, :a_rows, :]
-        else:
-            crop = sc3[:, :a_rows, :]
-        out_ref[r : r + 1] = jnp.clip(
-            out_ref[r : r + 1] + vol_ref[b] * crop, -1.0, 1.0
+        out_ref[r : r + 1] = mix_crop_row(
+            out_ref[r : r + 1], scratches[r], rem_ref[b], vol_ref[b],
+            a_rows, crop_rolls, pltpu,
         )
 
 
@@ -262,34 +280,23 @@ def _kernel_gather(
     for r in range(_TB):
         crop_dma(r).start()
 
-    pos = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, a_rows, _LANES), 1) * _LANES
-        + jax.lax.broadcasted_iota(jnp.int32, (1, a_rows, _LANES), 2)
-    )
+    pos = sample_positions(a_rows)
 
     # per-row decode + shift while the crop DMAs fly
     for r in range(_TB):
         b = i * _TB + r
         wav = wav_refs[r][:].astype(jnp.float32) * scale
-        s_signed = shift_ref[b]
-        s = jax.lax.rem(s_signed + p, p)  # [0, p)
-        rolled = _roll_flat_2d(wav, s, pltpu)
-        valid = (pos >= s_signed) & (pos < p + s_signed)
-        out_ref[r : r + 1] = rolled * valid.astype(jnp.float32) * keep_ref[b]
+        out_ref[r : r + 1] = shift_row(
+            wav, shift_ref[b], keep_ref[b], pos, p, pltpu
+        )
 
     # per-row crop mix + clip
     for r in range(_TB):
         b = i * _TB + r
         crop_dma(r).wait()
-        sc3 = scratches[r][:, :].reshape(1, *scratches[r].shape)
-        if crop_rolls:
-            total = scratches[r].shape[0] * _LANES
-            sc3 = _roll_flat_2d(
-                sc3, jax.lax.rem(-rem_ref[b] + total, total), pltpu
-            )
-        crop = sc3[:, :a_rows, :]
-        out_ref[r : r + 1] = jnp.clip(
-            out_ref[r : r + 1] + vol_ref[b] * crop, -1.0, 1.0
+        out_ref[r : r + 1] = mix_crop_row(
+            out_ref[r : r + 1], scratches[r], rem_ref[b], vol_ref[b],
+            a_rows, crop_rolls, pltpu,
         )
 
 

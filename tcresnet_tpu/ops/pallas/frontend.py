@@ -48,10 +48,12 @@ from tcresnet_tpu.ops.pallas.augment import (
     _draw_scalars,
     _next_pow2,
     _noise_bank_2d,
-    _roll_flat_2d,
     gather_fusable,
+    mix_crop_row,
+    sample_positions,
+    shift_row,
 )
-from tcresnet_tpu.ops.pallas.mfcc import fused_mfcc_available
+from tcresnet_tpu.ops.pallas.mfcc import fused_mfcc_available, mfcc_tail
 
 
 def _hops_from_lanes(x2, hop: int):
@@ -119,7 +121,6 @@ def _kernel(
 
     i = pl.program_id(0)
     a_rows = p // _LANES
-    two_k = 2 * num_bins
 
     def crop_dma(r):
         start = pl.multiple_of(srow_ref[i * _TB + r], 8)
@@ -132,60 +133,36 @@ def _kernel(
     for r in range(_TB):
         crop_dma(r).start()
 
-    pos = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, a_rows, _LANES), 1) * _LANES
-        + jax.lax.broadcasted_iota(jnp.int32, (1, a_rows, _LANES), 2)
-    )
+    pos = sample_positions(a_rows)
 
-    # --- augment phase (identical math to ops/pallas/augment._kernel_gather,
-    # but the result stays in registers/VMEM values) ---
+    # --- augment phase (the shared shift_row/mix_crop_row bodies from
+    # ops/pallas/augment, but the result stays in registers/VMEM values) ---
     shifted = []
     for r in range(_TB):
         b = i * _TB + r
         wav = wav_refs[r][:].astype(jnp.float32) * scale
-        s_signed = shift_ref[b]
-        s = jax.lax.rem(s_signed + p, p)
-        rolled = _roll_flat_2d(wav, s, pltpu)
-        valid = (pos >= s_signed) & (pos < p + s_signed)
-        shifted.append(rolled * valid.astype(jnp.float32) * keep_ref[b])
+        shifted.append(shift_row(wav, shift_ref[b], keep_ref[b], pos, p, pltpu))
 
     hops_rows = []
     n_rows = n // _LANES  # rows holding real samples (n % 128 == 0)
     for r in range(_TB):
         b = i * _TB + r
         crop_dma(r).wait()
-        sc3 = scratches[r][:, :].reshape(1, *scratches[r].shape)
-        if crop_rolls:
-            total = scratches[r].shape[0] * _LANES
-            sc3 = _roll_flat_2d(
-                sc3, jax.lax.rem(-rem_ref[b] + total, total), pltpu
-            )
-        crop = sc3[:, :a_rows, :]
-        aug = jnp.clip(shifted[r] + vol_ref[b] * crop, -1.0, 1.0)
+        aug = mix_crop_row(
+            shifted[r], scratches[r], rem_ref[b], vol_ref[b],
+            a_rows, crop_rolls, pltpu,
+        )
         x2 = aug[:, :n_rows, :].reshape(n_rows, _LANES)
         hops_rows.append(_hops_from_lanes(x2, hop))  # [n_hops, hop]
 
     hops = jnp.concatenate(hops_rows, axis=0)  # [TB*n_hops, hop]
 
-    # --- MFCC tail (identical math to ops/pallas/mfcc._kernel) ---
-    partial = jnp.dot(
-        hops.astype(matmul_dtype), dft_ref[:], preferred_element_type=jnp.float32
+    # --- shared MFCC matmul tail (ops/pallas/mfcc.mfcc_tail) ---
+    out_ref[:] = mfcc_tail(
+        hops, dft_ref[:], mel_ref[:], dct_ref[:],
+        tb=_TB, n_hops=n_hops, hop=hop, k=k, num_bins=num_bins,
+        frames=frames, matmul_dtype=matmul_dtype,
     )
-    partial = partial.reshape(_TB, n_hops, k * two_k)
-    reim = partial[:, 0:frames, 0:two_k]
-    for j in range(1, k):
-        reim = reim + partial[:, j : j + frames, j * two_k : (j + 1) * two_k]
-    re = reim[:, :, :num_bins]
-    im = reim[:, :, num_bins:]
-    power = re * re + im * im
-    mel = jnp.dot(
-        power.reshape(_TB * frames, num_bins),
-        mel_ref[:],
-        preferred_element_type=jnp.float32,
-    )
-    log_mel = jnp.log(mel + 1e-6)
-    mfcc = jnp.dot(log_mel, dct_ref[:], preferred_element_type=jnp.float32)
-    out_ref[:] = mfcc.reshape(_TB, frames, -1)
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))

@@ -74,7 +74,7 @@ def _fold_conv_bn(params, stats, name: str) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def build_layer_spec(
-    model_cfg: ModelConfig, params, stats, num_coeffs: int
+    model_cfg: ModelConfig, params, stats
 ) -> Tuple[List[Dict[str, Any]], np.ndarray]:
     """Flatten the TC-ResNet block structure into a conv list + fc kernel.
 
@@ -155,37 +155,26 @@ def _kernel(
     k_dft: int,
     num_bins: int,
     frames: int,
-    num_mel: int,
-    num_mfcc: int,
 ):
     """Ref order: hops [TB, n_hops, hop], dft, mel, dct,
     (w, b) per conv in spec order, fc, out [TB, ncls]."""
+    from tcresnet_tpu.ops.pallas.mfcc import mfcc_tail
+
     hops_ref, dft_ref, mel_ref, dct_ref = refs[:4]
     n_convs = len(spec_static)
     wrefs = refs[4 : 4 + 2 * n_convs]
     fc_ref = refs[4 + 2 * n_convs]
     out_ref = refs[5 + 2 * n_convs]
 
-    two_k = 2 * num_bins
-
-    # ---- MFCC front end (identical math to ops/pallas/mfcc._kernel) ----
-    hops = hops_ref[:].reshape(tb * n_hops, hop)
-    partial = jnp.dot(hops, dft_ref[:], preferred_element_type=jnp.float32)
-    partial = partial.reshape(tb, n_hops, k_dft * two_k)
-    reim = partial[:, 0:frames, 0:two_k]
-    for j in range(1, k_dft):
-        reim = reim + partial[:, j : j + frames, j * two_k : (j + 1) * two_k]
-    re = reim[:, :, :num_bins]
-    im = reim[:, :, num_bins:]
-    power = re * re + im * im
-    mel = jnp.dot(
-        power.reshape(tb * frames, num_bins), mel_ref[:],
-        preferred_element_type=jnp.float32,
+    # ---- shared MFCC matmul tail (ops/pallas/mfcc.mfcc_tail) ----
+    # result [TB, T=frames, C=num_mfcc]: frequency-as-channels
+    # (tc_resnet.py:17)
+    x = mfcc_tail(
+        hops_ref[:].reshape(tb * n_hops, hop),
+        dft_ref[:], mel_ref[:], dct_ref[:],
+        tb=tb, n_hops=n_hops, hop=hop, k=k_dft, num_bins=num_bins,
+        frames=frames,
     )
-    log_mel = jnp.log(mel + 1e-6)
-    mfcc = jnp.dot(log_mel, dct_ref[:], preferred_element_type=jnp.float32)
-    # [TB, T=frames, C=num_mfcc]: frequency-as-channels (tc_resnet.py:17)
-    x = mfcc.reshape(tb, frames, num_mfcc)
 
     # ---- conv stack (tc_resnet.py:28-48, BN folded) ----
     shortcut = None
@@ -260,7 +249,7 @@ def build_fused_infer(
     )
     dct = dsp.dct_ii_matrix(num_mel, num_mfcc)
 
-    spec, fc = build_layer_spec(model_cfg, params, batch_stats, num_mfcc)
+    spec, fc = build_layer_spec(model_cfg, params, batch_stats)
     spec_static = tuple((e["role"], e["k"], e["stride"], e["relu"]) for e in spec)
     weights = []
     for e in spec:
@@ -285,7 +274,6 @@ def build_fused_infer(
         kernel = functools.partial(
             _kernel, tb=tb_eff, spec_static=spec_static, n_hops=n_hops,
             hop=hop, k_dft=k_dft, num_bins=num_bins, frames=frames,
-            num_mel=num_mel, num_mfcc=num_mfcc,
         )
 
         out = pl.pallas_call(

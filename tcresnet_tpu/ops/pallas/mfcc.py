@@ -49,14 +49,22 @@ def fused_mfcc_available(cfg: AudioConfig, num_samples: Optional[int] = None) ->
     )
 
 
-def _kernel(audio_ref, dft_ref, mel_ref, dct_ref, out_ref, *, n_hops, hop, k, num_bins, frames, matmul_dtype):
-    # audio_ref: [TB, n_hops, hop] (hop reshape done outside the kernel —
-    # Mosaic only supports leading-dim reshapes, minor dim must not change)
-    tb = audio_ref.shape[0]
-    two_k = 2 * num_bins
+def mfcc_tail(
+    hops, dft, mel_w, dct_w, *, tb, n_hops, hop, k, num_bins, frames,
+    matmul_dtype=jnp.float32,
+):
+    """[tb*n_hops, hop] hop rows -> [tb, frames, n_mfccs] MFCCs.
 
-    hops = audio_ref[:].reshape(tb * n_hops, hop).astype(matmul_dtype)
-    partial = jnp.dot(hops, dft_ref[:], preferred_element_type=jnp.float32)
+    The SINGLE implementation of the in-kernel MFCC matmul tail
+    (windowed-DFT partials -> hop-decomposition shifted adds -> power ->
+    mel -> log -> DCT), shared by this module's kernel and the fused
+    frontend/inference kernels (ops/pallas/frontend.py,
+    ops/pallas/infer.py). Pure jnp on values — callable from inside any
+    Pallas kernel body."""
+    two_k = 2 * num_bins
+    partial = jnp.dot(
+        hops.astype(matmul_dtype), dft, preferred_element_type=jnp.float32
+    )
     partial = partial.reshape(tb, n_hops, k * two_k)
 
     # hop decomposition: reim[f] = sum_j partial[f + j, block j]
@@ -70,12 +78,24 @@ def _kernel(audio_ref, dft_ref, mel_ref, dct_ref, out_ref, *, n_hops, hop, k, nu
 
     mel = jnp.dot(
         power.reshape(tb * frames, num_bins),
-        mel_ref[:],
+        mel_w,
         preferred_element_type=jnp.float32,
     )
     log_mel = jnp.log(mel + 1e-6)
-    mfcc = jnp.dot(log_mel, dct_ref[:], preferred_element_type=jnp.float32)
-    out_ref[:] = mfcc.reshape(tb, frames, -1)
+    mfcc = jnp.dot(log_mel, dct_w, preferred_element_type=jnp.float32)
+    return mfcc.reshape(tb, frames, -1)
+
+
+def _kernel(audio_ref, dft_ref, mel_ref, dct_ref, out_ref, *, n_hops, hop, k, num_bins, frames, matmul_dtype):
+    # audio_ref: [TB, n_hops, hop] (hop reshape done outside the kernel —
+    # Mosaic only supports leading-dim reshapes, minor dim must not change)
+    tb = audio_ref.shape[0]
+    out_ref[:] = mfcc_tail(
+        audio_ref[:].reshape(tb * n_hops, hop),
+        dft_ref[:], mel_ref[:], dct_ref[:],
+        tb=tb, n_hops=n_hops, hop=hop, k=k, num_bins=num_bins,
+        frames=frames, matmul_dtype=matmul_dtype,
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))

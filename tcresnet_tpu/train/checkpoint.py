@@ -67,6 +67,9 @@ class CheckpointManager:
         log.info(f"Restored checkpoint step {step} from {self._dir}")
         return restored
 
+    def delete(self, step: int) -> None:
+        self._mgr.delete(step)
+
     def close(self) -> None:
         self._mgr.close()
 

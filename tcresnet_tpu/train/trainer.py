@@ -301,9 +301,19 @@ class Trainer:
             and idx.shape[0] >= 2048
             and getattr(cfg.augment, "backend", "auto") in ("auto", "pallas")
         )
-        if want_fuse and frontend.frontend_fusable(
+        fusable = frontend.frontend_fusable(
             arrays[0], cfg.augment, cfg.audio, noise_bank, n
-        ):
+        )
+        if mode == "on" and not fusable:
+            # "on" is documented as FORCE (config.py) — a silent
+            # fallback would let the user benchmark the wrong path
+            raise ValueError(
+                "frontend_fuse='on' but the geometry/config is not "
+                "fusable (needs MFCC preprocessing, hop-decomposable "
+                "window, lane-aligned clip, int16 HBM dataset, noise "
+                "bank); use 'auto' to allow fallback"
+            )
+        if want_fuse and fusable:
             feats = frontend.fused_gather_augment_mfcc(
                 arrays[0], idx, silent, k_aug, cfg.augment, cfg.audio,
                 noise_bank, is_training=True, n=n, mesh=self.mesh,

@@ -105,6 +105,23 @@ def apply_cfg_overrides(cfg, items):
             val = raw  # bare strings, e.g. optim.optimizer=adam
         if isinstance(val, list):
             val = tuple(val)
+        old = getattr(sub, field)
+        # type-check against the current value: a tuple field given a
+        # scalar (or vice versa) would be stored as-is by dataclasses
+        # and silently misbehave downstream (e.g. a bare string iterated
+        # character-by-character by exclude_metric_names)
+        if isinstance(old, tuple) and not isinstance(val, tuple):
+            raise SystemExit(
+                f"--cfg {path} expects a JSON list, got {raw!r}"
+            )
+        if isinstance(old, bool) != isinstance(val, bool) and old is not None:
+            if isinstance(old, bool) or isinstance(val, bool):
+                raise SystemExit(f"--cfg {path} expects a JSON bool, got {raw!r}")
+        if isinstance(old, (int, float)) and not isinstance(old, bool):
+            if isinstance(val, str):
+                raise SystemExit(f"--cfg {path} expects a number, got {raw!r}")
+            if isinstance(val, (int, float)):
+                val = type(old)(val)
         cfg = cfg.replace(**{section: dataclasses.replace(sub, **{field: val})})
     return cfg
 
