@@ -11,7 +11,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 @dataclass(frozen=True)
@@ -205,6 +205,10 @@ class DataConfig:
     dataset_root: str = ""
     cache_dir: str = ""
     eval_batch_size: int = 512
+    # Label-balancing oversampling of the TRAIN split: every label is
+    # inflated to at least `ratio * max_label_count` samples (reference
+    # --oversampling_ratio, data_wrapper_base.py:219-288). None/0 = off.
+    oversampling_ratio: Optional[float] = None
     use_synthetic: bool = False
     synthetic_num_samples: int = 4096
     # Per-class P/R/F1/AP metrics are computed only when the label count

@@ -65,7 +65,8 @@ class DSCNN(nn.Module):
 
     def _bn_relu(self, x, name: str, training: bool):
         x = layers.slim_batch_norm(
-            x, training=training, name=name, momentum=self.bn_momentum or 0.96,
+            x, training=training, name=name,
+            momentum=0.96 if self.bn_momentum is None else self.bn_momentum,
             center=True, scale=False, dtype=self.dtype,
         )
         return nn.relu(x)

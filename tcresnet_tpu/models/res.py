@@ -52,7 +52,7 @@ class ResKWS(nn.Module):
             x,
             training=training,
             name=name,
-            momentum=self.bn_momentum or 0.997,
+            momentum=0.997 if self.bn_momentum is None else self.bn_momentum,
             center=False,
             scale=False,
             dtype=self.dtype,

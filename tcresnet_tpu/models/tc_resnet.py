@@ -53,7 +53,8 @@ class TCResNet(nn.Module):
         )
         x = layers.slim_batch_norm(
             x, training=training, name=f"{name}_bn",
-            momentum=self.bn_momentum or 0.997, dtype=self.dtype,
+            momentum=0.997 if self.bn_momentum is None else self.bn_momentum,
+            dtype=self.dtype,
         )
         return nn.relu(x) if relu else x
 

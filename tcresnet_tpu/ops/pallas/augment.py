@@ -206,7 +206,7 @@ def _fused_augment_impl(wavs, scalars, noise_bank, n, interpret, quantize_crops=
                 (_TB, a_rows, _LANES), lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (_TB, a_rows, _LANES), lambda i, *_: (i, 0, 0),
@@ -361,7 +361,7 @@ def _fused_gather_augment_impl(
         num_scalar_prefetch=6,
         grid=(padded_b // _TB,),
         in_specs=[wav_spec(r) for r in range(_TB)]
-        + [pl.BlockSpec(memory_space=pltpu.ANY)],
+        + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (_TB, a_rows, _LANES), lambda i, *_: (i, 0, 0),
             memory_space=pltpu.VMEM,
@@ -477,7 +477,7 @@ def fused_gather_augment(
 
         n_data = mesh.shape["data"]
         if idx.shape[0] % (n_data * _TB) == 0:
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
 
             return shard_map(
                 lambda w, i, s, nb: _fused_gather_augment_impl(
@@ -491,7 +491,7 @@ def fused_gather_augment(
                     P(),  # noise bank: replicated
                 ),
                 out_specs=P("data"),
-                check_rep=False,
+                check_vma=False,
             )(wavs3d, idx, scalars, noise_bank)
     return _fused_gather_augment_impl(
         wavs3d, idx, scalars, noise_bank, n, interpret, quantize

@@ -229,7 +229,7 @@ def _impl(wavs3d, idx, scalars, noise_bank, n, cfg, interpret, quantize_crops):
         grid=(padded_b // _TB,),
         in_specs=[wav_spec(r) for r in range(_TB)]
         + [
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
                 (hop, k * two_k), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
             ),
@@ -325,7 +325,7 @@ def fused_gather_augment_mfcc(
     scalars = _draw_scalars(key, is_silent, aug_cfg, noise_bank, n, is_training)
     quantize = bool(getattr(aug_cfg, "noise_crop_quantize", False))
     if mesh is not None and mesh.devices.size > 1:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         n_data = mesh.shape["data"]
@@ -337,6 +337,6 @@ def fused_gather_augment_mfcc(
                 mesh=mesh,
                 in_specs=(P(), P("data"), (P("data"),) * 5, P()),
                 out_specs=P("data"),
-                check_rep=False,
+                check_vma=False,
             )(wavs3d, idx, scalars, noise_bank)
     return _impl(wavs3d, idx, scalars, noise_bank, n, audio_cfg, interpret, quantize)

@@ -310,13 +310,13 @@ def build_fused_infer(
         if mesh is not None and mesh.devices.size > 1:
             n_data = mesh.shape["data"]
             if wavs.shape[0] % (n_data * tb) == 0:
-                from jax.experimental.shard_map import shard_map
+                from jax import shard_map
                 from jax.sharding import PartitionSpec as P
 
                 return shard_map(
                     _infer_local, mesh=mesh,
                     in_specs=(P("data"),), out_specs=P("data"),
-                    check_rep=False,
+                    check_vma=False,
                 )(wavs)
         return _infer_local(wavs)
 

@@ -184,7 +184,7 @@ def fused_mfcc(
     if not fused_mfcc_available(cfg, audio.shape[-1]):
         return dsp.mfcc(audio, cfg)
     if mesh is not None and mesh.devices.size > 1:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         n_data = mesh.shape["data"]
@@ -194,6 +194,6 @@ def fused_mfcc(
                 mesh=mesh,
                 in_specs=(P("data"),),
                 out_specs=P("data"),
-                check_rep=False,
+                check_vma=False,
             )(audio)
     return _fused_mfcc_impl(audio, cfg, interpret, tb)

@@ -67,6 +67,26 @@ class CheckpointManager:
         log.info(f"Restored checkpoint step {step} from {self._dir}")
         return restored
 
+    def restore_raw(self, step: Optional[int] = None):
+        """Restore the checkpoint's pytree WITHOUT a structure template.
+
+        Returns plain nested dicts/lists of host arrays in whatever
+        structure the checkpoint was saved with. This is what makes
+        cross-architecture transfer possible (reference
+        common/model_loader.py:42-83 `ignore_missing_vars`: restore a
+        variable subset from a checkpoint of a DIFFERENT graph) — a
+        template-based StandardRestore against the current state would
+        fail on the first structural mismatch, before any scope filter
+        runs.
+        """
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"No checkpoints under {self._dir}")
+        restored = self._mgr.restore(step)
+        log.info(f"Raw-restored checkpoint step {step} from {self._dir}")
+        return restored
+
     def delete(self, step: int) -> None:
         self._mgr.delete(step)
 

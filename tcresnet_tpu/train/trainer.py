@@ -213,6 +213,15 @@ class Trainer:
         optimizer state is reset; global step restarts at 0 unless
         `reset_step=False` (the reference kept the ckpt's step and could
         shift LR boundaries relative to it, trainer.py:120-133).
+
+        The checkpoint is restored WITHOUT using the current state as a
+        structure template (`restore_raw`), so it may come from a
+        DIFFERENT architecture — the reference's actual transfer-learning
+        use case (Ckpt + ignore_missing_vars loaded a variable subset
+        from another graph). Params and batch stats are merged by path
+        with the scope filters; with `ignore_missing=True`, paths absent
+        from (or shape-mismatched in) the checkpoint keep their fresh
+        initialization.
         """
         from tcresnet_tpu.train.checkpoint import (
             CheckpointManager as CM,
@@ -220,24 +229,34 @@ class Trainer:
         )
 
         src = CM(checkpoint_dir)
-        restored = src.restore(jax.device_get(self.state), step)
+        raw = src.restore_raw(step)
         params = restore_params_partial(
             jax.device_get(self.state.params),
-            restored.params,
+            raw["params"],
             include_scopes,
             exclude_scopes,
             ignore_missing,
         )
-        new_step = self.state.step * 0 if reset_step else restored.step
+        # BN moving stats travel with their layer's params: same filters,
+        # but missing stats never error (a fresh stat is always safe).
+        batch_stats = restore_params_partial(
+            jax.device_get(self.state.batch_stats),
+            raw.get("batch_stats") or {},
+            include_scopes,
+            exclude_scopes,
+            ignore_missing=True,
+        )
+        restored_step = jnp.asarray(raw["step"], jnp.int32)
+        new_step = self.state.step * 0 if reset_step else restored_step
         if not reset_step:
             # LR is schedule(global_step), so keeping the step keeps the
             # applied LR consistent with the logged one; optionally shift
             # the boundaries relative to it.
-            self._apply_relative_schedule(int(restored.step))
+            self._apply_relative_schedule(int(restored_step))
         self.state = self.state.replace(
             step=new_step,
             params=params,
-            batch_stats=restored.batch_stats,
+            batch_stats=batch_stats,
             opt_state=self.tx.init(params),
             ema_params=jax.tree_util.tree_map(jnp.copy, params)
             if self.state.ema_params is not None
@@ -527,13 +546,22 @@ class Trainer:
                 n_data = self.mesh.shape.get("data", 1)
                 n_eval += (-n_eval) % n_data
 
+            # Re-resolve the backend for THIS batch size: the init-time
+            # 'auto' resolution was made from the (large) train batch; the
+            # sanity-eval batch is small and sits below the Pallas
+            # crossover. mesh= keeps the kernel shard_map-wrapped if it is
+            # chosen anyway.
+            import dataclasses as _dc
+
+            eval_audio_cfg = _dc.replace(self.cfg.audio, dsp_backend="auto")
+
             def eval_batch(state, arrays, key):
                 wavs, labels, silent = DeviceDataset.sample_batch(
                     arrays, key, n_eval, self.mesh,
                     clip_len=self.cfg.audio.desired_samples,
                 )
                 wavs = jnp.where(silent[:, None], 0.0, wavs)
-                feats = dsp.preprocess(wavs, self.cfg.audio)
+                feats = dsp.preprocess(wavs, eval_audio_cfg, mesh=self.mesh)
                 logits = self.model.apply(
                     {"params": state.params, "batch_stats": state.batch_stats},
                     feats,

@@ -33,6 +33,7 @@ def test_entry_compiles_single_device():
     np.testing.assert_allclose(np.asarray(out).sum(-1), 1.0, rtol=1e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n", [2, 4])
 def test_dryrun_other_mesh_sizes(n):
     graft.dryrun_multichip(n)

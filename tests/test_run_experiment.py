@@ -48,3 +48,36 @@ def test_two_process_train_eval_promote(tmp_path):
     # metrics under the test split)
     test_jsonl = train_dir / "test_metrics.jsonl"
     assert test_jsonl.exists()
+
+
+def test_per_split_silence_counts():
+    """Reference-exact per-split --num_silent threading (VERDICT r2
+    missing #4): each child process gets its own count (1854/258/257 in
+    scripts/commands/*.sh:3-7), and unset per-split flags omit the flag
+    so the loader's per-split auto applies."""
+    sys.path.insert(0, str(REPO / "tools"))
+    from tools.run_experiment import build_commands, parse_args
+
+    args = parse_args([
+        "--train-dir", "/tmp/x", "--synthetic",
+        "--num-silent", "1854",
+        "--num-silent-valid", "258",
+        "--num-silent-test", "257",
+    ])
+    train_cmd, eval_cmd, final_cmd = build_commands(args, "/tmp/x")
+
+    def silent_of(cmd):
+        return cmd[cmd.index("--num-silent") + 1] if "--num-silent" in cmd else None
+
+    assert silent_of(train_cmd) == "1854"
+    assert silent_of(eval_cmd) == "258"
+    assert silent_of(final_cmd) == "257"
+
+    # per-split flags unset -> no --num-silent forwarded (auto), instead
+    # of inheriting the train count (the round-2 bug)
+    args2 = parse_args(["--train-dir", "/tmp/x", "--synthetic",
+                        "--num-silent", "1854"])
+    t2, e2, f2 = build_commands(args2, "/tmp/x")
+    assert silent_of(t2) == "1854"
+    assert silent_of(e2) is None
+    assert silent_of(f2) is None

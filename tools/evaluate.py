@@ -47,9 +47,14 @@ def parse_args(argv=None):
     p.add_argument("--clip-duration-ms", type=int, default=None)
     p.add_argument("--best-metric", default=None,
                    help="once mode: load the promoted best checkpoint for "
-                        "this metric from <train-dir>/best/valid/<metric> "
-                        "(the reference's final test eval loaded "
+                        "this metric from <train-dir>/best/<best-split>/"
+                        "<metric> (the reference's final test eval loaded "
                         "valid/accuracy, scripts/commands/*.sh:7)")
+    p.add_argument("--best-split", default="valid",
+                   help="split whose promoted best to load with "
+                        "--best-metric (default 'valid', the reference's "
+                        "watch split; set this if your loop evaluator "
+                        "watched a different split)")
     p.add_argument("--device", choices=["auto", "cpu"], default="auto",
                    help="cpu: pin to host CPU devices (loop evaluator "
                         "alongside a training process on one chip)")
@@ -79,11 +84,22 @@ def main(argv=None):
             # reference final-eval pattern: load the best-valid promotion
             from tcresnet_tpu.train.checkpoint import CheckpointManager
 
-            best_dir = Path(args.train_dir) / "best" / "valid" / args.best_metric
+            best_dir = (
+                Path(args.train_dir) / "best" / args.best_split / args.best_metric
+            )
             if not best_dir.exists():
-                raise SystemExit(f"No promoted best checkpoint at {best_dir}")
+                promoted = sorted(
+                    str(p.relative_to(Path(args.train_dir) / "best"))
+                    for p in (Path(args.train_dir) / "best").glob("*/*")
+                ) if (Path(args.train_dir) / "best").exists() else []
+                raise SystemExit(
+                    f"No promoted best checkpoint at {best_dir}"
+                    + (f" (promoted: {promoted})" if promoted else "")
+                )
             watcher.ckpt = CheckpointManager(best_dir)
-            log.info(f"Loading best-valid/{args.best_metric} from {best_dir}")
+            log.info(
+                f"Loading best-{args.best_split}/{args.best_metric} from {best_dir}"
+            )
         step = args.step if args.step is not None else watcher.ckpt.latest_step()
         if step is None:
             raise SystemExit(f"No checkpoints under {args.train_dir}/ckpt")

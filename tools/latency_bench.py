@@ -71,28 +71,39 @@ def main(argv=None):
             "params": param_count(variables["params"]),
             "input": "x".join(map(str, in_shape)),
             "device_avg_us": round(dev["avg"], 2),
+            "device_spread_us": [round(dev["min"], 2), round(dev["max"], 2)],
         }
         from tcresnet_tpu.ops.pallas.infer import fused_infer_available
+        from tcresnet_tpu.ops.pallas.infer2d import fused_infer2d_available
 
-        if args.include_preprocess and fused_infer_available(cfg.model, cfg.audio):
+        fusable = fused_infer_available(
+            cfg.model, cfg.audio
+        ) or fused_infer2d_available(cfg.model, cfg.audio)
+        if args.include_preprocess and fusable:
             fused_fn = build_inference_fn(
                 cfg, dict(variables), include_preprocess=True, backend="fused"
             )
             fdev = benchmark_on_device(fused_fn, x, num_runs=args.num_runs)
             row["fused_kernel_avg_us"] = round(fdev["avg"], 2)
+            row["fused_kernel_spread_us"] = [
+                round(fdev["min"], 2), round(fdev["max"], 2)
+            ]
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    print("\n| model | params | input | device avg µs | fused kernel µs |")
+    print("\n| model | params | input | device median µs (min–max) | fused kernel µs (min–max) |")
     print("|---|---|---|---|---|")
     for r in rows:
         fused = (
-            f"{r['fused_kernel_avg_us']:.2f}"
+            f"{r['fused_kernel_avg_us']:.2f} "
+            f"({r['fused_kernel_spread_us'][0]:.2f}–{r['fused_kernel_spread_us'][1]:.2f})"
             if "fused_kernel_avg_us" in r else "—"
         )
         print(
             f"| {r['model']} | {r['params']:,} | {r['input']} "
-            f"| {r['device_avg_us']:.2f} | {fused} |"
+            f"| {r['device_avg_us']:.2f} "
+            f"({r['device_spread_us'][0]:.2f}–{r['device_spread_us'][1]:.2f}) "
+            f"| {fused} |"
         )
 
 

@@ -49,7 +49,17 @@ def parse_args(argv=None):
     p.add_argument("--max-step", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
-    p.add_argument("--num-silent", type=int, default=None)
+    p.add_argument("--num-silent", type=int, default=None,
+                   help="silence samples injected into the TRAIN split "
+                        "(reference --num_silent; default: auto = "
+                        "split_size // num_labels)")
+    p.add_argument("--num-silent-valid", type=int, default=None,
+                   help="silence count for the valid-loop evaluator "
+                        "(reference passes a per-split count, e.g. 258; "
+                        "default: per-split auto)")
+    p.add_argument("--num-silent-test", type=int, default=None,
+                   help="silence count for the final test eval (reference "
+                        "e.g. 257; default: per-split auto)")
     p.add_argument("--steps-per-call", type=int, default=None)
     p.add_argument("--compute-dtype", choices=["float32", "bfloat16"], default=None)
     p.add_argument("--step-save-checkpoint", type=int, default=None)
@@ -80,6 +90,52 @@ def _passthrough(args, *names):
     return out
 
 
+def _silent(flag_value):
+    """Per-split silence counts: the reference passes a distinct
+    --num_silent to each process (1854/258/257, scripts/commands/*.sh:3-7).
+    Unset per-split flags fall back to the loader's per-split auto
+    (split_size // num_labels) rather than inheriting the train count."""
+    return [] if flag_value is None else ["--num-silent", str(flag_value)]
+
+
+def build_commands(args, train_dir):
+    """The three child command lines (trainer, loop evaluator, final test
+    eval). Split out of main() so tests can assert per-process flags
+    without spawning processes."""
+    common = _passthrough(
+        args, "preset", "dataset-root", "cache-dir", "synthetic",
+        "synthetic-samples", "compute-dtype", "clip-duration-ms",
+    )
+    train_cmd = (
+        [sys.executable, str(_TOOLS / "train.py")]
+        + common
+        + _silent(args.num_silent)
+        + ["--train-dir", train_dir, "--eval-split", "", "--device", args.train_device]
+        + _passthrough(
+            args, "max-step", "batch-size", "seed", "steps-per-call",
+            "step-save-checkpoint",
+        )
+    )
+    eval_cmd = (
+        [sys.executable, str(_TOOLS / "evaluate.py")]
+        + common
+        + _silent(args.num_silent_valid)
+        + ["--train-dir", train_dir, "--split", "valid", "--valid-type", "loop",
+           "--device", args.eval_device,
+           "--timeout", str(args.eval_poll_timeout)]
+        + _passthrough(args, "max-step")
+    )
+    final_cmd = (
+        [sys.executable, str(_TOOLS / "evaluate.py")]
+        + common
+        + _silent(args.num_silent_test)
+        + ["--train-dir", train_dir, "--split", args.final_split,
+           "--valid-type", "once", "--best-metric", args.best_metric,
+           "--device", args.train_device]
+    )
+    return train_cmd, eval_cmd, final_cmd
+
+
 def main(argv=None) -> int:
     args = parse_args(argv)
     # Expand %DATE%/%USER%/%FIELD% placeholders ONCE so trainer and
@@ -90,27 +146,7 @@ def main(argv=None) -> int:
     Path(train_dir).mkdir(parents=True, exist_ok=True)
     print(f"[run_experiment] train_dir: {train_dir}", flush=True)
 
-    common = _passthrough(
-        args, "preset", "dataset-root", "cache-dir", "synthetic",
-        "synthetic-samples", "num-silent", "compute-dtype", "clip-duration-ms",
-    )
-    train_cmd = (
-        [sys.executable, str(_TOOLS / "train.py")]
-        + common
-        + ["--train-dir", train_dir, "--eval-split", "", "--device", args.train_device]
-        + _passthrough(
-            args, "max-step", "batch-size", "seed", "steps-per-call",
-            "step-save-checkpoint",
-        )
-    )
-    eval_cmd = (
-        [sys.executable, str(_TOOLS / "evaluate.py")]
-        + common
-        + ["--train-dir", train_dir, "--split", "valid", "--valid-type", "loop",
-           "--device", args.eval_device,
-           "--timeout", str(args.eval_poll_timeout)]
-        + _passthrough(args, "max-step")
-    )
+    train_cmd, eval_cmd, final_cmd = build_commands(args, train_dir)
 
     procs = []
     try:
@@ -147,13 +183,6 @@ def main(argv=None) -> int:
 
     # Final held-out evaluation from the promoted best-valid checkpoint
     # (scripts/commands/*.sh:7 loads <train_dir>/valid/accuracy).
-    final_cmd = (
-        [sys.executable, str(_TOOLS / "evaluate.py")]
-        + common
-        + ["--train-dir", train_dir, "--split", args.final_split,
-           "--valid-type", "once", "--best-metric", args.best_metric,
-           "--device", args.train_device]
-    )
     return subprocess.call(final_cmd)
 
 

@@ -87,6 +87,48 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def _check_declared_type(sub, field, val, path, raw):
+    """Validate/coerce an override for a field whose current value is None.
+
+    Unwraps Optional[...] from the dataclass annotation and checks the
+    JSON-decoded value against it (ADVICE r2: `--cfg model.bn_momentum=abc`
+    used to store the raw string and fail opaquely inside tracing).
+    """
+    import types
+    import typing
+
+    hints = typing.get_type_hints(type(sub))
+    declared = hints.get(field)
+    if declared is None:
+        return val
+    origin = typing.get_origin(declared)
+    if origin is typing.Union or origin is types.UnionType:
+        non_none = [a for a in typing.get_args(declared) if a is not type(None)]
+        if len(non_none) != 1:
+            return val
+        declared = non_none[0]
+        origin = typing.get_origin(declared)
+    if declared is float:
+        if isinstance(val, bool) or not isinstance(val, (int, float)):
+            raise SystemExit(f"--cfg {path} expects a number, got {raw!r}")
+        return float(val)
+    if declared is int:
+        if isinstance(val, bool) or not isinstance(val, int):
+            raise SystemExit(f"--cfg {path} expects an integer, got {raw!r}")
+        return val
+    if declared is bool:
+        if not isinstance(val, bool):
+            raise SystemExit(f"--cfg {path} expects a JSON bool, got {raw!r}")
+        return val
+    if declared is str:
+        if not isinstance(val, str):
+            raise SystemExit(f"--cfg {path} expects a string, got {raw!r}")
+        return val
+    if origin is tuple and not isinstance(val, tuple):
+        raise SystemExit(f"--cfg {path} expects a JSON list, got {raw!r}")
+    return val
+
+
 def apply_cfg_overrides(cfg, items):
     """Apply SECTION.FIELD=VALUE overrides; unknown fields raise."""
     import json
@@ -122,6 +164,11 @@ def apply_cfg_overrides(cfg, items):
                 raise SystemExit(f"--cfg {path} expects a number, got {raw!r}")
             if isinstance(val, (int, float)):
                 val = type(old)(val)
+        if old is None and val is not None:
+            # Current value gives no type signal — validate against the
+            # dataclass field's declared type so a bad override fails here
+            # instead of deep inside jit tracing.
+            val = _check_declared_type(sub, field, val, path, raw)
         cfg = cfg.replace(**{section: dataclasses.replace(sub, **{field: val})})
     return cfg
 
@@ -206,6 +253,11 @@ def load_split(cfg, split):
         desired_samples=cfg.audio.desired_samples,
         num_silent=cfg.augment.num_silent,
         cache_dir=cfg.data.cache_dir or None,
+        # Train-split only, like the reference (oversampling is applied to
+        # the training file list, data_wrapper_base.py:219-248).
+        oversampling_ratio=(
+            cfg.data.oversampling_ratio if split == "train" else None
+        ),
     )
 
 
