@@ -65,10 +65,14 @@ def build_inference_fn(
             build_fused_infer,
             fused_infer_available,
         )
-
-        supported = include_preprocess and fused_infer_available(
-            cfg.model, cfg.audio
+        from tcresnet_tpu.ops.pallas.infer2d import (
+            build_fused_infer2d,
+            fused_infer2d_available,
         )
+
+        is_temporal = fused_infer_available(cfg.model, cfg.audio)
+        is_2d = fused_infer2d_available(cfg.model, cfg.audio)
+        supported = include_preprocess and (is_temporal or is_2d)
         if backend == "fused" and not supported:
             raise ValueError(
                 "backend='fused' needs include_preprocess and a supported "
@@ -85,10 +89,16 @@ def build_inference_fn(
             )
             supported = supported and platform == "tpu"
         if supported:
-            fused = build_fused_infer(
-                cfg.model, cfg.audio, params, batch_stats,
-                interpret=_interpret,
-            )
+            if is_temporal:
+                fused = build_fused_infer(
+                    cfg.model, cfg.audio, params, batch_stats,
+                    interpret=_interpret,
+                )
+            else:
+                fused = build_fused_infer2d(
+                    cfg.model, cfg.audio, params, batch_stats,
+                    interpret=_interpret,
+                )
 
             if backend == "fused":
                 def infer_fused(x: jnp.ndarray) -> jnp.ndarray:
