@@ -7,6 +7,10 @@ reference model zoo:
   - ResNet2D8 / ResNet2D8Pool   (audio_nets/tc_resnet.py:73-99)
   - Res8 / Res8Narrow / Res15 / Res15Narrow (audio_nets/res.py:6-123)
   - DSCNNS / DSCNNM / DSCNNL    (audio_nets/ds_cnn.py:9-101)
+  - all 7 Google-KWS baselines  (audio_nets/kws.py:15-63), incl. the
+    SVDF (training-path forward, kws.py:583-625); flatten+Dense heads
+    are batched dot_generals over the spatial dims (no minor-dim
+    reshape), full-height VALID convs contract the whole time axis
 
 TPU-native replacement for the reference's per-model deploy path
 (freeze.py -> .tflite -> TF-Lite interpreter benchmarked per model in
@@ -71,13 +75,24 @@ _FAMILY_TB = {
     "DSCNNS": 8,
     "DSCNNM": 4,
     "DSCNNL": 4,
+    "KWS": 8,
 }
+
+# All seven Google-KWS baselines (audio_nets/kws.py:15-63) have fused
+# kernels; the SVDF runtime-streaming variant fuses its TRAINING-path
+# forward (kws.py:583-625), like the reference's frozen deploy graph.
+_KWS_ARCHS = (
+    "single_fc", "conv", "low_latency_conv", "one_fstride4",
+    "trad_fpool3", "low_latency_svdf", "tiny_conv",
+)
 
 
 def fused_infer2d_available(model_cfg: ModelConfig, audio_cfg: AudioConfig) -> bool:
     """Whole-model 2D kernel supports the map families on MFCC features."""
     from tcresnet_tpu.ops.pallas.mfcc import fused_mfcc_available
 
+    if model_cfg.name == "KWS" and model_cfg.kws_architecture not in _KWS_ARCHS:
+        return False
     return model_cfg.name in _FAMILY_TB and fused_mfcc_available(audio_cfg)
 
 
@@ -152,11 +167,49 @@ class _OpListBuilder:
     def pool(self, ph, pw, sh, sw):
         self.ops.append(("pool", ph, pw, sh, sw))
 
+    def maxpool(self, ph, pw, sh, sw, padding):
+        self.ops.append(("maxpool", ph, pw, sh, sw, padding))
+
     def save(self):
         self.ops.append(("save",))
 
     def addsc(self, relu: bool):
         self.ops.append(("addsc", relu))
+
+    def gap(self):
+        self.ops.append(("gap",))
+
+    def dense(self, w, b, relu=False):
+        # w [K, U]; b [1, U] or None
+        self.ops.append(("dense", relu, b is not None))
+        self.weights.append(w)
+        if b is not None:
+            self.weights.append(b)
+
+    def flatten_dense(self, w, b, relu=False):
+        # w [T, F, C, U] (4D input) or [T, F, U] (3D input); b [1, U]|None.
+        # Replaces reshape(b, -1) + Dense without a minor-dim reshape:
+        # a batched dot_general over the spatial dims, summed after.
+        self.ops.append(("flatten_dense", relu, b is not None, w.ndim))
+        self.weights.append(w)
+        if b is not None:
+            self.weights.append(b)
+
+    def tconv_full(self, w, b, sw, relu):
+        # Full-height VALID conv (kernel (T, kw), To == 1; the
+        # one_fstride4 / low_latency_conv first layer, kws.py:293-487):
+        # per f-tap, contraction over the WHOLE time axis — a dot_general
+        # instead of kh unrolled taps. w [kw, T, U]; b [1, U] or None.
+        self.ops.append(("tconv_full", w.shape[0], sw, relu, b is not None))
+        self.weights.append(w)
+        if b is not None:
+            self.weights.append(b)
+
+    def svdf(self, w_freq, w_time_t, rank_sum, bias):
+        # w_freq [F, K], w_time_t [T, K], rank_sum [K, units] 0/1 matrix,
+        # bias [1, units] (kws.py:583-625 unit-major rank sum).
+        self.ops.append(("svdf",))
+        self.weights += [w_freq, w_time_t, rank_sum, bias]
 
 
 def _build_tc2d(model_cfg: ModelConfig, params, stats) -> _OpListBuilder:
@@ -249,27 +302,153 @@ def _build_dscnn(model_cfg: ModelConfig, params, stats) -> _OpListBuilder:
     return b
 
 
-def build_op_list(model_cfg: ModelConfig, params, stats):
-    """-> (ops static tuple, weight arrays, fc kernel, fc bias|None)."""
-    name = model_cfg.name
-    if name.startswith("ResNet2D8"):
-        b = _build_tc2d(model_cfg, params, stats)
-        fc_name = "fc"
-    elif name.startswith("Res"):
-        b = _build_res(model_cfg, params, stats)
-        fc_name = "fc"
-    elif name.startswith("DSCNN"):
-        b = _build_dscnn(model_cfg, params, stats)
-        fc_name = "fc1"
-    else:
-        raise ValueError(f"unsupported model {name!r}")
-    fc = np.asarray(params[fc_name]["kernel"], np.float32)
-    fcb = (
-        np.asarray(params[fc_name]["bias"], np.float32).reshape(1, -1)
-        if "bias" in params[fc_name]
+def _dense_wb(params, name):
+    w = np.asarray(params[name]["kernel"], np.float32)
+    b = (
+        np.asarray(params[name]["bias"], np.float32).reshape(1, -1)
+        if "bias" in params[name]
         else None
     )
-    return tuple(b.ops), b.weights, fc, fcb
+    return w, b
+
+
+def _flat_w(params, name, spatial, channels=None):
+    """Dense kernel [prod(spatial)*C, U] -> [T, F, (C,) U] for
+    flatten_dense (flax flatten order is channel-fastest)."""
+    w = np.asarray(params[name]["kernel"], np.float32)
+    t, f = spatial
+    if channels is None:
+        return w.reshape(t, f, -1)
+    return w.reshape(t, f, channels, -1)
+
+
+def _build_kws(model_cfg: ModelConfig, params, feature_shape) -> Tuple[_OpListBuilder, int]:
+    """Google-KWS baselines (audio_nets/kws.py; our models/kws.py).
+
+    Returns (builder, input_rank): conv-style archs consume 4D
+    [TB,T,F,1]; single_fc / svdf consume 3D [TB,T,F] (their first op
+    contracts the mel axis directly — no spatial conv ever happens, and
+    3D avoids a minor-dim squeeze).
+    """
+    arch = model_cfg.kws_architecture
+    t_in, f_in, _ = feature_shape
+    b = _OpListBuilder()
+
+    if arch == "single_fc":
+        w, bias = _dense_wb(params, "fc")
+        b.flatten_dense(w.reshape(t_in, f_in, -1), bias)
+        return b, 3
+
+    if arch == "low_latency_svdf":
+        rank, num_units = 2, 1280
+        k = rank * num_units
+        w_freq = np.asarray(params["weights_frequency"], np.float32)  # [F, K]
+        w_time = np.asarray(params["weights_time"], np.float32)  # [K, T]
+        rank_sum = np.zeros((k, num_units), np.float32)
+        for u in range(num_units):
+            rank_sum[u * rank : (u + 1) * rank, u] = 1.0  # k = u*rank + r
+        bias = np.asarray(params["bias"], np.float32).reshape(1, -1)
+        b.svdf(w_freq, w_time.T.copy(), rank_sum, bias)
+        # The only nonlinearity is relu(units + bias) inside the svdf op;
+        # the fc chain is plain matmul+bias (kws.py:649-668, models/kws.py).
+        for name in ("fc1", "fc2", "fc3"):
+            w, bb = _dense_wb(params, name)
+            b.dense(w, bb)
+        return b, 3
+
+    if arch == "conv":
+        w, bias = _raw_conv(params, "conv1")
+        b.conv(w, bias, 20, 8, 1, 1, 1, True, "SAME")
+        b.maxpool(2, 2, 2, 2, "SAME")
+        w, bias = _raw_conv(params, "conv2")
+        b.conv(w, bias, 10, 4, 1, 1, 1, True, "SAME")
+        to, fo = -(-t_in // 2), -(-f_in // 2)
+        w, bias = _dense_wb(params, "fc")
+        b.flatten_dense(_flat_w(params, "fc", (to, fo), 64), bias)
+        return b, 4
+
+    if arch == "tiny_conv":
+        w, bias = _raw_conv(params, "conv1")
+        b.conv(w, bias, 10, 8, 2, 2, 1, True, "SAME")
+        to, fo = -(-t_in // 2), -(-f_in // 2)
+        w, bias = _dense_wb(params, "fc")
+        b.flatten_dense(_flat_w(params, "fc", (to, fo), 8), bias)
+        return b, 4
+
+    if arch == "trad_fpool3":
+        w, bias = _raw_conv(params, "conv1")
+        b.conv(w, bias, 20, 8, 1, 1, 1, True, "VALID")
+        t1, f1 = t_in - 19, f_in - 7
+        b.maxpool(1, 3, 1, 3, "VALID")
+        f2 = (f1 - 3) // 3 + 1
+        w, bias = _raw_conv(params, "conv2")
+        b.conv(w, bias, 10, 4, 1, 1, 1, True, "VALID")
+        t3, f3 = t1 - 9, f2 - 3
+        b.flatten_dense(_flat_w(params, "lin", (t3, f3), 64), None)
+        for name in ("fc1", "fc2"):
+            w, bb = _dense_wb(params, name)
+            b.dense(w, bb)
+        return b, 4
+
+    if arch in ("low_latency_conv", "one_fstride4"):
+        stride_f = 4 if arch == "one_fstride4" else 1
+        kern = np.asarray(params["conv1"]["kernel"], np.float32)  # [T,8,1,U]
+        w_full = np.transpose(kern[:, :, 0, :], (1, 0, 2)).copy()  # [8,T,U]
+        bias = (
+            np.asarray(params["conv1"]["bias"], np.float32).reshape(1, -1)
+            if "bias" in params["conv1"]
+            else None
+        )
+        b.tconv_full(w_full, bias, stride_f, True)
+        fo = (f_in - 8) // stride_f + 1
+        u = kern.shape[-1]
+        if arch == "one_fstride4":
+            b.flatten_dense(
+                np.asarray(params["lin"]["kernel"], np.float32).reshape(fo, u, -1),
+                None,
+            )
+            for name in ("fc1", "fc2"):
+                w, bb = _dense_wb(params, name)
+                b.dense(w, bb)
+            w, bb = _dense_wb(params, "fc3")
+            b.dense(w, bb)
+        else:
+            b.flatten_dense(
+                np.asarray(params["fc1"]["kernel"], np.float32).reshape(fo, u, -1),
+                np.asarray(params["fc1"]["bias"], np.float32).reshape(1, -1),
+            )
+            for name in ("fc2", "fc3"):
+                w, bb = _dense_wb(params, name)
+                b.dense(w, bb)
+        return b, 4
+
+    raise ValueError(f"unsupported KWS architecture {arch!r}")
+
+
+def build_op_list(model_cfg: ModelConfig, params, stats, feature_shape):
+    """-> (ops static tuple, weight arrays, input_rank 3|4).
+
+    The op list is the COMPLETE network including the classifier tail
+    (gap + dense for the CNN families; arch-specific for KWS)."""
+    name = model_cfg.name
+    input_rank = 4
+    if name.startswith("ResNet2D8"):
+        b = _build_tc2d(model_cfg, params, stats)
+        b.gap()
+        b.dense(*_dense_wb(params, "fc"))
+    elif name.startswith("Res"):
+        b = _build_res(model_cfg, params, stats)
+        b.gap()
+        b.dense(*_dense_wb(params, "fc"))
+    elif name.startswith("DSCNN"):
+        b = _build_dscnn(model_cfg, params, stats)
+        b.gap()
+        b.dense(*_dense_wb(params, "fc1"))
+    elif name == "KWS":
+        b, input_rank = _build_kws(model_cfg, params, feature_shape)
+    else:
+        raise ValueError(f"unsupported model {name!r}")
+    return tuple(b.ops), b.weights, input_rank
 
 
 # ---------------------------------------------------------------------------
@@ -360,13 +539,118 @@ def _pool2d_step(x, ph, pw, sh, sw):
     return acc * (1.0 / (ph * pw))
 
 
-def _kernel2d(*refs, tb: int, ops: Tuple[Tuple, ...], has_fc_bias: bool):
-    """Ref order: feats [TB,T,F,1], per-op weights, fc, (fcb), out."""
+def _maxpool2d_step(x, ph, pw, sh, sw, padding):
+    """TF-SAME/VALID max pool (SAME pads with -inf)."""
+    tb, t, f, ci = x.shape
+    if padding == "SAME":
+        to, fo = -(-t // sh), -(-f // sw)
+        pt = max((to - 1) * sh + ph - t, 0)
+        pf = max((fo - 1) * sw + pw - f, 0)
+    else:
+        to = (t - ph) // sh + 1
+        fo = (f - pw) // sw + 1
+        pt = pf = 0
+    plo_t, plo_f = pt // 2, pf // 2
+    span_t = sh * (to - 1) + 1
+    span_f = sw * (fo - 1) + 1
+    hi_t = max(span_t + ph - 1 - (t + plo_t), 0)
+    hi_f = max(span_f + pw - 1 - (f + plo_f), 0)
+    if plo_t or hi_t or plo_f or hi_f:
+        x = jnp.pad(
+            x, ((0, 0), (plo_t, hi_t), (plo_f, hi_f), (0, 0)),
+            constant_values=-np.inf,
+        )
+    acc = None
+    for i in range(ph):
+        sl_t = jax.lax.slice_in_dim(x, i, i + span_t, axis=1)
+        sl_t = _stride_select(sl_t, 1, sh, to)
+        for j in range(pw):
+            sl = jax.lax.slice_in_dim(sl_t, j, j + span_f, axis=2)
+            sl = _stride_select(sl, 2, sw, fo)
+            acc = sl if acc is None else jnp.maximum(acc, sl)
+    return acc
+
+
+def _flatten_dense_step(x, w, b, relu):
+    """reshape(b, -1) + Dense WITHOUT a minor-dim reshape: batched
+    dot_general over the spatial dims, summed after.
+
+    4D x [TB,T,F,C] with w [T,F,C,U]: batch (t,f), contract c.
+    3D x [TB,T,F]  with w [T,F,U]:   batch t,     contract f (minor).
+    """
+    # Mosaic's batched matmul wants the batch dim LEADING on both
+    # operands ("batch dims must be equal") — transpose the batch axes
+    # to the front (non-minor transpose, legal) and keep ONE batch dim.
+    if x.ndim == 4:
+        t, f, c, u = w.shape
+        xt = jnp.transpose(x, (1, 2, 0, 3))  # [T, F, TB, C]
+        xt = xt.reshape(t * f, x.shape[0], c)  # merge leading dims
+        wt = w.reshape(t * f, c, u)
+        parts = jax.lax.dot_general(
+            xt, wt,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [T*F, TB, U]
+        y = jnp.sum(parts, axis=0)
+    else:
+        xt = jnp.transpose(x, (1, 0, 2))  # [T, TB, F]
+        parts = jax.lax.dot_general(
+            xt, w,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [T, TB, U]
+        y = jnp.sum(parts, axis=0)
+    if b is not None:
+        y = y + b
+    return jnp.maximum(y, 0.0) if relu else y
+
+
+def _tconv_full_step(x, w, b, kw, sw, relu):
+    """Full-height VALID conv (kernel (T, kw), output [TB, Fo, U]).
+
+    x [TB, T, F, 1]; w [kw, T, U]. Per f-tap: contract the whole time
+    axis with a dot_general (kws.py:293-487 first layers have kernel
+    height == num frames, so To == 1 and the 'conv' is a per-window
+    projection)."""
+    tb, t, f, _ = x.shape
+    fo = (f - (kw - 1) - 1) // sw + 1
+    span_f = sw * (fo - 1) + 1
+    acc = None
+    for j in range(kw):
+        sl = jax.lax.slice_in_dim(x, j, j + span_f, axis=2)
+        sl = _stride_select(sl, 2, sw, fo)  # [TB, T, Fo, 1]
+        part = jax.lax.dot_general(
+            sl, w[j],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [TB, Fo, 1, U]
+        part = part[:, :, 0, :]  # squeeze middle dim -> [TB, Fo, U]
+        acc = part if acc is None else acc + part
+    if b is not None:
+        acc = acc + b
+    return jnp.maximum(acc, 0.0) if relu else acc
+
+
+def _svdf_step(x, w_freq, w_time_t, rank_sum, bias, tb):
+    """SVDF forward (kws.py:583-625): freq projection, per-filter time
+    dot, unit-major rank sum, relu(units + bias). x [TB, T, F]."""
+    t, f = x.shape[1], x.shape[2]
+    k = w_freq.shape[1]
+    acts = jnp.dot(
+        x.reshape(tb * t, f), w_freq, preferred_element_type=jnp.float32
+    ).reshape(tb, t, k)
+    out = jnp.sum(acts * w_time_t[None], axis=1)  # [TB, K]
+    units = jnp.dot(out, rank_sum, preferred_element_type=jnp.float32)
+    return jnp.maximum(units + bias, 0.0)
+
+
+def _kernel2d(*refs, tb: int, ops: Tuple[Tuple, ...]):
+    """Ref order: feats [TB,T,F,1] or [TB,T,F], per-op weights, out.
+
+    A pure interpreter over the static op list; the final op leaves a
+    2D [TB, num_classes] logits value."""
     x = refs[0][:].astype(jnp.float32)
-    n_out = 2 if has_fc_bias else 1
-    wrefs = refs[1:-(n_out + 1)] if has_fc_bias else refs[1:-2]
-    fc_ref = refs[-3] if has_fc_bias else refs[-2]
-    fcb_ref = refs[-2] if has_fc_bias else None
+    wrefs = refs[1:-1]
     out_ref = refs[-1]
 
     shortcut = None
@@ -394,6 +678,9 @@ def _kernel2d(*refs, tb: int, ops: Tuple[Tuple, ...], has_fc_bias: bool):
         elif kind == "pool":
             _, ph, pw, sh, sw = op
             x = _pool2d_step(x, ph, pw, sh, sw)
+        elif kind == "maxpool":
+            _, ph, pw, sh, sw, padding = op
+            x = _maxpool2d_step(x, ph, pw, sh, sw, padding)
         elif kind == "save":
             shortcut = x
         elif kind == "addsc":
@@ -401,12 +688,48 @@ def _kernel2d(*refs, tb: int, ops: Tuple[Tuple, ...], has_fc_bias: bool):
             if op[1]:
                 x = jnp.maximum(x, 0.0)
             shortcut = None
+        elif kind == "gap":
+            x = jnp.mean(x, axis=(1, 2))  # [TB, C]
+        elif kind == "dense":
+            _, relu, has_bias = op
+            w = wrefs[wi][:]
+            wi += 1
+            b = None
+            if has_bias:
+                b = wrefs[wi][:]
+                wi += 1
+            x = jnp.dot(x, w, preferred_element_type=jnp.float32)
+            if b is not None:
+                x = x + b
+            if relu:
+                x = jnp.maximum(x, 0.0)
+        elif kind == "flatten_dense":
+            _, relu, has_bias, _wndim = op
+            w = wrefs[wi][:]
+            wi += 1
+            b = None
+            if has_bias:
+                b = wrefs[wi][:]
+                wi += 1
+            x = _flatten_dense_step(x, w, b, relu)
+        elif kind == "tconv_full":
+            _, kw, sw, relu, has_bias = op
+            w = wrefs[wi][:]
+            wi += 1
+            b = None
+            if has_bias:
+                b = wrefs[wi][:]
+                wi += 1
+            x = _tconv_full_step(x, w, b, kw, sw, relu)
+        elif kind == "svdf":
+            w_freq = wrefs[wi][:]
+            w_time_t = wrefs[wi + 1][:]
+            rank_sum = wrefs[wi + 2][:]
+            bias = wrefs[wi + 3][:]
+            wi += 4
+            x = _svdf_step(x, w_freq, w_time_t, rank_sum, bias, tb)
 
-    pooled = jnp.mean(x, axis=(1, 2))  # global avg pool [TB, C]
-    logits = jnp.dot(pooled, fc_ref[:], preferred_element_type=jnp.float32)
-    if has_fc_bias:
-        logits = logits + fcb_ref[:]
-    out_ref[:] = logits
+    out_ref[:] = x
 
 
 # ---------------------------------------------------------------------------
@@ -443,25 +766,18 @@ def build_fused_infer2d(
     t_dim, f_dim, _ = dsp.feature_shape(audio_cfg)
     ncls = model_cfg.num_classes
 
-    ops, weights, fc, fcb = build_op_list(model_cfg, params, batch_stats)
+    ops, weights, input_rank = build_op_list(
+        model_cfg, params, batch_stats, dsp.feature_shape(audio_cfg)
+    )
     weights = [jnp.asarray(w) for w in weights]
-    has_fc_bias = fcb is not None
 
-    const_map2 = lambda i: (0, 0)
-    const_map3 = lambda i: (0, 0, 0)
     weight_specs = [
         pl.BlockSpec(
-            w.shape,
-            const_map3 if w.ndim == 3 else const_map2,
+            w.shape, (lambda nd: lambda i: (0,) * nd)(w.ndim),
             memory_space=pltpu.VMEM,
         )
         for w in weights
     ]
-    tail = [pl.BlockSpec(fc.shape, const_map2, memory_space=pltpu.VMEM)]
-    tail_args = [jnp.asarray(fc)]
-    if has_fc_bias:
-        tail.append(pl.BlockSpec(fcb.shape, const_map2, memory_space=pltpu.VMEM))
-        tail_args.append(jnp.asarray(fcb))
 
     def _infer_local(wavs: jnp.ndarray) -> jnp.ndarray:
         batch = wavs.shape[0]
@@ -474,29 +790,37 @@ def build_fused_infer2d(
         if pad_b:
             feats = jnp.pad(feats, ((0, pad_b), (0, 0), (0, 0)))
         padded_b = feats.shape[0]
-        x4 = feats[..., None]  # [B, T, F, 1] (XLA-level reshape)
+        if input_rank == 4:
+            x_in = feats[..., None]  # [B, T, F, 1] (XLA-level reshape)
+            in0 = pl.BlockSpec(
+                (tb_eff, t_dim, f_dim, 1), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        else:
+            x_in = feats  # [B, T, F] (single_fc / svdf: no spatial conv)
+            in0 = pl.BlockSpec(
+                (tb_eff, t_dim, f_dim), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
 
-        kernel = functools.partial(
-            _kernel2d, tb=tb_eff, ops=ops, has_fc_bias=has_fc_bias
-        )
+        kernel = functools.partial(_kernel2d, tb=tb_eff, ops=ops)
         out = pl.pallas_call(
             kernel,
             grid=(padded_b // tb_eff,),
-            in_specs=[
-                pl.BlockSpec(
-                    (tb_eff, t_dim, f_dim, 1),
-                    lambda i: (i, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                )
-            ]
-            + weight_specs
-            + tail,
+            in_specs=[in0] + weight_specs,
             out_specs=pl.BlockSpec(
                 (tb_eff, ncls), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((padded_b, ncls), jnp.float32),
             interpret=interpret,
-        )(x4, *weights, *tail_args)
+            # 98x40 maps pad channels to 128 lanes (~2 MB per live f32
+            # buffer); the default 16 MB scoped-vmem cap is a soft
+            # compiler limit, not the physical VMEM size — raise it for
+            # the map families (measured need: ~18-40 MB at TB=1).
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+        )(x_in, *weights)
         return out[:batch]
 
     @jax.jit

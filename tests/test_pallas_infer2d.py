@@ -45,7 +45,9 @@ def _variables(cfg, seed=0):
     )
     # Push batch stats off their init values so BN folding/affine is
     # actually exercised (fresh stats are mean=0 var=1).
-    stats = jax.tree_util.tree_map(lambda a: jnp.abs(a + 0.07), v["batch_stats"])
+    stats = jax.tree_util.tree_map(
+        lambda a: jnp.abs(a + 0.07), v.get("batch_stats", {})
+    )
     return {"params": v["params"], "batch_stats": stats}
 
 
@@ -81,6 +83,34 @@ def _assert_parity(cfg, batch: int = 3, seed: int = 3):
 )
 def test_family_parity_small_geometry(preset):
     _assert_parity(_small_cfg(preset), batch=2)
+
+
+@pytest.mark.parametrize(
+    "arch",
+    ["single_fc", "one_fstride4", "trad_fpool3", "low_latency_svdf",
+     "tiny_conv"],
+)
+def test_kws_parity(arch):
+    """All Google-KWS baselines have whole-model kernels; these use the
+    real 49x40 geometry (trad_fpool3's VALID convs need >=29 frames) —
+    the nets are small, so interpret mode stays cheap."""
+    cfg = get_preset("KWSfpool3")
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, kws_architecture=arch),
+        train=dataclasses.replace(cfg.train, compute_dtype="float32"),
+    )
+    _assert_parity(cfg, batch=2)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("arch", ["conv", "low_latency_conv"])
+def test_kws_parity_slow(arch):
+    cfg = get_preset("KWSfpool3")
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, kws_architecture=arch),
+        train=dataclasses.replace(cfg.train, compute_dtype="float32"),
+    )
+    _assert_parity(cfg, batch=2)
 
 
 def test_export_backend_routes_2d():
