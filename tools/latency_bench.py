@@ -83,7 +83,13 @@ def main(argv=None):
             fused_fn = build_inference_fn(
                 cfg, dict(variables), include_preprocess=True, backend="fused"
             )
-            fdev = benchmark_on_device(fused_fn, x, num_runs=args.num_runs)
+            # Fused latencies are single-digit us; at the default 50 runs
+            # the diffed wall-times are ~ms against a ~30 ms tunnel RTT
+            # and the per-repeat samples can even go negative. 500 runs
+            # puts the signal well above host jitter.
+            fdev = benchmark_on_device(
+                fused_fn, x, num_runs=max(500, args.num_runs)
+            )
             row["fused_kernel_avg_us"] = round(fdev["avg"], 2)
             row["fused_kernel_spread_us"] = [
                 round(fdev["min"], 2), round(fdev["max"], 2)
