@@ -122,7 +122,12 @@ class Evaluator:
         # exact mean over true samples (padded rows masked out above)
         metrics["loss"] = float(np.mean(np.concatenate(all_losses)))
         metrics["num_samples"] = float(len(labels))
-        # steady-state latency stats (skip the compile-laden first batch)
+        # steady-state latency stats (skip the compile-laden first batch).
+        # NOTE: these are HOST wall-clock times around the device call,
+        # matching the reference protocol (helper/base.py:106-115); on a
+        # tunneled/remote device they are dominated by the ~30 ms RTT per
+        # sync and must not be quoted as device latency — use
+        # serve.benchmark.benchmark_on_device for that.
         steady = infer_times[1:] or infer_times
         metrics["batch_infer_time"] = float(np.mean(steady))
         metrics["unit_infer_time"] = float(np.mean(steady)) / batch

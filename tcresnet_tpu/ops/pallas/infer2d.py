@@ -644,16 +644,38 @@ def _svdf_step(x, w_freq, w_time_t, rank_sum, bias, tb):
     return jnp.maximum(units + bias, 0.0)
 
 
+def _mask_cols(x, vf: int):
+    """Zero out F columns >= vf (x is [TB, T, Fpad, C], Fpad >= vf).
+
+    Built from an in-kernel iota — a closure-captured numpy constant
+    would be rejected by pallas_call ("captures constants")."""
+    if vf >= x.shape[2]:
+        return x
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+    return jnp.where(idx < vf, x, 0.0)
+
+
 def _kernel2d(*refs, tb: int, ops: Tuple[Tuple, ...]):
     """Ref order: feats [TB,T,F,1] or [TB,T,F], per-op weights, out.
 
     A pure interpreter over the static op list; the final op leaves a
-    2D [TB, num_classes] logits value."""
+    2D [TB, num_classes] logits value.
+
+    F-axis sublane alignment: a stride-1 VALID pool (Res8's front 4x3
+    pool, res.py:78) leaves an F width that is not a multiple of 8
+    (98x40 -> 95x38); every later tap matmul's merge-reshape then forces
+    a Mosaic relayout (measured 235 us vs Res15's 97 us for HALF the
+    convs). Instead we zero-pad F back to the next multiple of 8 and
+    carry the valid width `vf`: a stride-1 SAME conv on the padded map
+    computes the exact width-vf SAME result in columns [0, vf) because
+    the pad columns are kept zero (re-masked after every bias/affine,
+    which would otherwise leak ReLU(bias) into them)."""
     x = refs[0][:].astype(jnp.float32)
     wrefs = refs[1:-1]
     out_ref = refs[-1]
 
     shortcut = None
+    vf = None  # valid F width when the F axis carries zero padding
     wi = 0
     for op in ops:
         kind = op[0]
@@ -662,7 +684,12 @@ def _kernel2d(*refs, tb: int, ops: Tuple[Tuple, ...]):
             w = wrefs[wi][:]
             b = wrefs[wi + 1][:]
             wi += 2
+            if vf is not None:
+                # padded-F mode is only exact for stride-1 SAME convs
+                assert sh == 1 and sw == 1 and padding == "SAME", op
             y = _conv2d_step(x, w, b, kh, kw, sh, sw, dil, relu, padding, mode)
+            if vf is not None:
+                y = _mask_cols(y, vf)
             if role == "down":
                 shortcut = y  # x unchanged
             elif role == "block0":
@@ -675,9 +702,16 @@ def _kernel2d(*refs, tb: int, ops: Tuple[Tuple, ...]):
             a = wrefs[wi][:]
             wi += 1
             x = x * a[0:1, :] + a[1:2, :]
+            if vf is not None:
+                x = _mask_cols(x, vf)
         elif kind == "pool":
             _, ph, pw, sh, sw = op
             x = _pool2d_step(x, ph, pw, sh, sw)
+            if sh == 1 and sw == 1 and x.shape[2] % 8:
+                vf = x.shape[2]
+                x = jnp.pad(
+                    x, ((0, 0), (0, 0), (0, (-vf) % 8), (0, 0))
+                )
         elif kind == "maxpool":
             _, ph, pw, sh, sw, padding = op
             x = _maxpool2d_step(x, ph, pw, sh, sw, padding)
@@ -689,7 +723,13 @@ def _kernel2d(*refs, tb: int, ops: Tuple[Tuple, ...]):
                 x = jnp.maximum(x, 0.0)
             shortcut = None
         elif kind == "gap":
-            x = jnp.mean(x, axis=(1, 2))  # [TB, C]
+            if vf is not None:
+                # pad columns are zero, so sum is exact; divide by the
+                # VALID element count, not the padded one
+                x = jnp.sum(x, axis=(1, 2)) * (1.0 / (x.shape[1] * vf))
+                vf = None
+            else:
+                x = jnp.mean(x, axis=(1, 2))  # [TB, C]
         elif kind == "dense":
             _, relu, has_bias = op
             w = wrefs[wi][:]

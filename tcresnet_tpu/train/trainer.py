@@ -126,6 +126,11 @@ class Trainer:
             f"batch={cfg.train.batch_size} steps_per_call={self.steps_per_call}"
         )
         self._train_fn = self._build_train_fn()
+        # jitted chunk fns for partial (remainder) lengths, keyed by n —
+        # memoized so a steps-per-call sweep in one process retraces each
+        # distinct remainder once instead of per loop iteration
+        # (VERDICT r2 weak #8).
+        self._partial_fns: dict = {}
 
     # ------------------------------------------------------------------
     # state init / restore
@@ -192,6 +197,7 @@ class Trainer:
         )
         # the train fns close over the schedule at trace time
         self._train_fn = self._build_train_fn()
+        self._partial_fns = {}
         self.log.info(
             f"LR boundaries shifted by restore step {restore_step}: {boundaries}"
         )
@@ -448,10 +454,13 @@ class Trainer:
         while step < max_step:
             n = min(self.steps_per_call, max_step - step)
             if n != self.steps_per_call:
-                fn = jax.jit(
-                    functools.partial(self._train_fn_with_length, n),
-                    donate_argnums=(0,),
-                )
+                fn = self._partial_fns.get(n)
+                if fn is None:
+                    fn = jax.jit(
+                        functools.partial(self._train_fn_with_length, n),
+                        donate_argnums=(0,),
+                    )
+                    self._partial_fns[n] = fn
             else:
                 fn = self._train_fn
             self.state, summary = fn(self.state, *arrays, noise)

