@@ -91,20 +91,30 @@ class WatchingEvaluator:
 
         shape = dsp.feature_shape(self.cfg.audio)
         sample = jnp.zeros((2,) + shape, jnp.float32)
-        variables = self.evaluator.model.init(
-            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
-            sample,
-            training=True,
-        )
-        # tx must see params so masked (trainable_scopes) opt states match
-        tx, _ = build_optimizer(self.cfg.optim, params=variables["params"])
-        return create_train_state(
-            self.evaluator.model,
-            tx,
-            jax.random.key(0),
-            sample,
-            use_ema=self.cfg.optim.use_ema,
-        )
+
+        def build():
+            variables = self.evaluator.model.init(
+                {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                sample,
+                training=True,
+            )
+            # tx must see params so masked (trainable_scopes) opt states
+            # match
+            tx, _ = build_optimizer(self.cfg.optim, params=variables["params"])
+            return create_train_state(
+                self.evaluator.model,
+                tx,
+                jax.random.key(0),
+                sample,
+                use_ema=self.cfg.optim.use_ema,
+            )
+
+        # the template only supplies structure to orbax StandardRestore
+        # (checkpoint.restore maps to_shape_dtype_struct over it anyway),
+        # so trace it abstractly: a real model.init here op-by-op-compiled
+        # ~112 tiny XLA programs, each under the persistent-cache
+        # threshold — 52 s of the evaluator CLI's startup on one CPU core
+        return jax.eval_shape(build)
 
     def evaluate_once(self, step: int) -> Dict[str, float]:
         """Load a checkpoint and run a full-split evaluation

@@ -31,7 +31,16 @@ def make_mesh(
     """Build a (data, model) mesh over `devices` (default: all)."""
     cfg = cfg or MeshConfig()
     if devices is None:
-        devices = jax.devices()
+        # honor an explicit jax_default_device pin: a registered
+        # higher-priority plugin (the axon TPU tunnel registers itself
+        # regardless of JAX_PLATFORMS) must not leak into a mesh built
+        # for a process whose computation was pinned elsewhere — CLI
+        # tests pin CPU but jax.devices() would still lead with the TPU
+        default_dev = jax.config.jax_default_device
+        if default_dev is not None:
+            devices = jax.devices(default_dev.platform)
+        else:
+            devices = jax.devices()
     devices = list(devices)
     model = max(cfg.model, 1)
     if len(devices) % model != 0:

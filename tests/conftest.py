@@ -34,7 +34,9 @@ _JAX_CACHE = os.environ.setdefault(
     os.path.join(os.path.expanduser("~"), ".cache", "tcresnet_tpu_jax"),
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+# cache even sub-second compiles: un-jitted init paths emit hundreds of
+# ~0.4 s programs that a 0.5 s threshold silently re-compiled every run
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -79,7 +81,7 @@ def _force_cpu():
     # explicitly so the in-process compiles use it too.
     jax.config.update("jax_compilation_cache_dir", _JAX_CACHE)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     yield
 
 

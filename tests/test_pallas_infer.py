@@ -99,11 +99,18 @@ def test_build_inference_fn_fused_backend(rng):
 
     import dataclasses
 
-    bad = dataclasses.replace(cfg, model=dataclasses.replace(model_cfg, name="Res8"))
+    # every model family has a fused kernel now (infer.py + infer2d.py),
+    # so the unsupported case is a non-MFCC front end — availability is
+    # checked before params are touched
+    bad = dataclasses.replace(
+        cfg,
+        audio=dataclasses.replace(
+            audio_cfg, preprocess_method="log_mel_spectrogram"
+        ),
+    )
     with pytest.raises(ValueError):
         build_inference_fn(cfg, variables, include_preprocess=False, backend="fused")
     with pytest.raises(ValueError):
-        # Res8 params don't matter — availability is checked first
         build_inference_fn(bad, variables, backend="fused")
 
 
