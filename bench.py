@@ -37,12 +37,14 @@ def main(argv=None):
     from tcresnet_tpu.train.trainer import Trainer
 
     p = argparse.ArgumentParser()
-    # defaults tuned on v5e: batch 1024 + 50-step scan beats larger
-    # batches (the augment kernel scales linearly with rows; the model is
-    # tiny) — 303k utt/s vs 295k at 2048 and 245k at 4096
-    p.add_argument("--batch", type=int, default=1024)
+    # defaults re-tuned on v5e (round 3): batch 1536 + 200-step scans =
+    # 640k utt/s vs 592k at the old 1024/50 — longer scans amortize the
+    # per-call dispatch through the tunnel, and 1536 sits just under the
+    # point where the augment kernel's linear row cost wins over MXU
+    # utilization (2048+ measured slower on the 50-step protocol)
+    p.add_argument("--batch", type=int, default=1536)
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
-    p.add_argument("--steps-per-call", type=int, default=50)
+    p.add_argument("--steps-per-call", type=int, default=200)
     p.add_argument("--dsp-backend", default="auto",
                    choices=["xla", "pallas", "auto"])
     p.add_argument("--frontend", default="auto", choices=["auto", "on", "off"],
