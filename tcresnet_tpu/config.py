@@ -54,6 +54,14 @@ class AudioConfig:
     # tests/test_train.py::test_overfit_bf16_dsp); exports keep f32
     # unless the training config opted in.
     dsp_matmul_dtype: str = "float32"
+    # In-kernel windowed-DFT decomposition (fused mfcc/frontend kernels):
+    # "hops" = hop-blocked matmul + shifted-add epilogue; "phases" =
+    # phase-grouped canonical-lane matmuls (ops/pallas/mfcc.py
+    # phase_dft_plan — no per-frame slice assembly, no K-dim padding).
+    # "auto" resolves to hops (measured faster on v5e at every batch
+    # size; phases is kept as a parity-tested recorded negative result,
+    # docs/BENCH_RESULTS.md).
+    dft_variant: str = "auto"
 
     @property
     def desired_samples(self) -> int:

@@ -53,7 +53,13 @@ from tcresnet_tpu.ops.pallas.augment import (
     sample_positions,
     shift_row,
 )
-from tcresnet_tpu.ops.pallas.mfcc import fused_mfcc_available, mfcc_tail
+from tcresnet_tpu.ops.pallas.mfcc import (
+    fused_mfcc_available,
+    mfcc_tail,
+    mfcc_tail_phases,
+    phase_dft_plan,
+    resolve_dft_variant,
+)
 
 
 def _hops_from_lanes(x2, hop: int):
@@ -101,23 +107,25 @@ def _kernel(
     num_bins: int,
     frames: int,
     matmul_dtype,
+    phase_plan=None,
 ):
     """Ref layout: 6 scalar-prefetch ([B] shift/srow/rem/vol/keep/idx),
     TB index-mapped wav blocks [1, A, 128] int16, noise bank (ANY),
-    dft [hop, k*2K], mel [K, M], dct [M, C], out [TB, frames, C],
-    TB crop scratches + DMA sem [TB]."""
+    DFT matrices (1 for the hops variant, P for phases), mel [K, M],
+    dct [M, C], out [TB, frames, C], TB crop scratches + DMA sem [TB]."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    num_dft = 1 if phase_plan is None else phase_plan[0]
     shift_ref, srow_ref, rem_ref, vol_ref, keep_ref, _idx_ref = refs[:6]
     wav_refs = refs[6 : 6 + _TB]
     noise_ref = refs[6 + _TB]
-    dft_ref = refs[7 + _TB]
-    mel_ref = refs[8 + _TB]
-    dct_ref = refs[9 + _TB]
-    out_ref = refs[10 + _TB]
-    scratches = refs[11 + _TB : 11 + 2 * _TB]
-    sem = refs[11 + 2 * _TB]
+    dft_refs = refs[7 + _TB : 7 + _TB + num_dft]
+    mel_ref = refs[7 + _TB + num_dft]
+    dct_ref = refs[8 + _TB + num_dft]
+    out_ref = refs[9 + _TB + num_dft]
+    scratches = refs[10 + _TB + num_dft : 10 + 2 * _TB + num_dft]
+    sem = refs[10 + 2 * _TB + num_dft]
 
     i = pl.program_id(0)
     a_rows = p // _LANES
@@ -143,8 +151,8 @@ def _kernel(
         wav = wav_refs[r][:].astype(jnp.float32) * scale
         shifted.append(shift_row(wav, shift_ref[b], keep_ref[b], pos, p, pltpu))
 
-    hops_rows = []
     n_rows = n // _LANES  # rows holding real samples (n % 128 == 0)
+    aug_rows = []
     for r in range(_TB):
         b = i * _TB + r
         crop_dma(r).wait()
@@ -152,21 +160,35 @@ def _kernel(
             shifted[r], scratches[r], rem_ref[b], vol_ref[b],
             a_rows, crop_rolls, pltpu,
         )
-        x2 = aug[:, :n_rows, :].reshape(n_rows, _LANES)
-        hops_rows.append(_hops_from_lanes(x2, hop))  # [n_hops, hop]
+        aug_rows.append(aug[:, :n_rows, :])  # [1, n_rows, 128]
 
+    if phase_plan is not None:
+        # --- phase-decomposed DFT tail: consumes the lane-major layout
+        # directly, no per-frame hop assembly (ops/pallas/mfcc) ---
+        x3 = jnp.concatenate(aug_rows, axis=0)  # [TB, n_rows, 128]
+        out_ref[:] = mfcc_tail_phases(
+            x3, [d[:] for d in dft_refs], mel_ref[:], dct_ref[:],
+            plan=phase_plan, tb=_TB, num_bins=num_bins,
+            matmul_dtype=matmul_dtype,
+        )
+        return
+
+    hops_rows = [
+        _hops_from_lanes(a.reshape(n_rows, _LANES), hop) for a in aug_rows
+    ]
     hops = jnp.concatenate(hops_rows, axis=0)  # [TB*n_hops, hop]
 
     # --- shared MFCC matmul tail (ops/pallas/mfcc.mfcc_tail) ---
     out_ref[:] = mfcc_tail(
-        hops, dft_ref[:], mel_ref[:], dct_ref[:],
+        hops, dft_refs[0][:], mel_ref[:], dct_ref[:],
         tb=_TB, n_hops=n_hops, hop=hop, k=k, num_bins=num_bins,
         frames=frames, matmul_dtype=matmul_dtype,
     )
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
-def _impl(wavs3d, idx, scalars, noise_bank, n, cfg, interpret, quantize_crops):
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+def _impl(wavs3d, idx, scalars, noise_bank, n, cfg, interpret, quantize_crops,
+          variant="hops"):
     import numpy as np
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -203,15 +225,27 @@ def _impl(wavs3d, idx, scalars, noise_bank, n, cfg, interpret, quantize_crops):
     frames = n_hops - k + 1
     two_k = 2 * num_bins
     dft = dsp.windowed_rdft_matrix(window, fft_length)
-    dft_blocks = np.concatenate(
-        [dft[j * hop : (j + 1) * hop] for j in range(k)], axis=1
-    )
     mel = dsp.linear_to_mel_weight_matrix(
         cfg.num_mel_bins, num_bins, cfg.sample_rate,
         cfg.lower_edge_hertz, cfg.upper_edge_hertz,
     )
     dct = dsp.dct_ii_matrix(cfg.num_mel_bins, cfg.num_mfccs)
     matmul_dtype = dsp.dsp_matmul_dtype(cfg)
+
+    if variant == "phases":
+        phase_plan = phase_dft_plan(window, hop, n, fft_length)
+        dft_ws = [
+            jnp.asarray(w).astype(matmul_dtype) for *_, w in phase_plan[4]
+        ]
+    else:
+        phase_plan = None
+        dft_ws = [
+            jnp.asarray(
+                np.concatenate(
+                    [dft[j * hop : (j + 1) * hop] for j in range(k)], axis=1
+                )
+            ).astype(matmul_dtype)
+        ]
 
     def wav_spec(r):
         return pl.BlockSpec(
@@ -224,23 +258,20 @@ def _impl(wavs3d, idx, scalars, noise_bank, n, cfg, interpret, quantize_crops):
             memory_space=pltpu.VMEM,
         )
 
+    def const_spec(shape):
+        return pl.BlockSpec(
+            shape, lambda i, *_: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(padded_b // _TB,),
         in_specs=[wav_spec(r) for r in range(_TB)]
+        + [pl.BlockSpec(memory_space=pl.ANY)]
+        + [const_spec(w.shape) for w in dft_ws]
         + [
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(
-                (hop, k * two_k), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (num_bins, cfg.num_mel_bins), lambda i, *_: (0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (cfg.num_mel_bins, cfg.num_mfccs), lambda i, *_: (0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            const_spec((num_bins, cfg.num_mel_bins)),
+            const_spec((cfg.num_mel_bins, cfg.num_mfccs)),
         ],
         out_specs=pl.BlockSpec(
             (_TB, frames, cfg.num_mfccs), lambda i, *_: (i, 0, 0),
@@ -265,6 +296,7 @@ def _impl(wavs3d, idx, scalars, noise_bank, n, cfg, interpret, quantize_crops):
             num_bins=num_bins,
             frames=frames,
             matmul_dtype=matmul_dtype,
+            phase_plan=phase_plan,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
@@ -280,7 +312,7 @@ def _impl(wavs3d, idx, scalars, noise_bank, n, cfg, interpret, quantize_crops):
         idx.astype(jnp.int32),
         *([wavs3d] * _TB),
         noise2d,
-        jnp.asarray(dft_blocks).astype(matmul_dtype),
+        *dft_ws,
         jnp.asarray(mel),
         jnp.asarray(dct),
     )
@@ -324,6 +356,7 @@ def fused_gather_augment_mfcc(
     assert frontend_fusable(wavs3d, aug_cfg, audio_cfg, noise_bank, n)
     scalars = _draw_scalars(key, is_silent, aug_cfg, noise_bank, n, is_training)
     quantize = bool(getattr(aug_cfg, "noise_crop_quantize", False))
+    variant = resolve_dft_variant(audio_cfg, n)
     if mesh is not None and mesh.devices.size > 1:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
@@ -332,11 +365,14 @@ def fused_gather_augment_mfcc(
         if idx.shape[0] % (n_data * _TB) == 0:
             return shard_map(
                 lambda w, i, s, nb: _impl(
-                    w, i, s, nb, n, audio_cfg, interpret, quantize
+                    w, i, s, nb, n, audio_cfg, interpret, quantize, variant
                 ),
                 mesh=mesh,
                 in_specs=(P(), P("data"), (P("data"),) * 5, P()),
                 out_specs=P("data"),
                 check_vma=False,
             )(wavs3d, idx, scalars, noise_bank)
-    return _impl(wavs3d, idx, scalars, noise_bank, n, audio_cfg, interpret, quantize)
+    return _impl(
+        wavs3d, idx, scalars, noise_bank, n, audio_cfg, interpret, quantize,
+        variant,
+    )

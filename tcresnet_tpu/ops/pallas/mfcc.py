@@ -27,6 +27,7 @@ kernel is forward-only.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -35,6 +36,8 @@ import numpy as np
 
 from tcresnet_tpu.config import AudioConfig
 from tcresnet_tpu.ops import dsp
+
+_LANES = 128
 
 
 def fused_mfcc_available(cfg: AudioConfig, num_samples: Optional[int] = None) -> bool:
@@ -49,13 +52,32 @@ def fused_mfcc_available(cfg: AudioConfig, num_samples: Optional[int] = None) ->
     )
 
 
+def mfcc_from_reim(reim, mel_w, dct_w, *, tb, frames, num_bins):
+    """[tb, frames, 2K] (Re|Im) spectra -> [tb, frames, n_mfccs].
+
+    The shared power -> mel -> log -> DCT tail of both DFT variants.
+    Pure jnp on values — callable from inside any Pallas kernel body."""
+    re = reim[:, :, :num_bins]
+    im = reim[:, :, num_bins:]
+    power = re * re + im * im
+
+    mel = jnp.dot(
+        power.reshape(tb * frames, num_bins),
+        mel_w,
+        preferred_element_type=jnp.float32,
+    )
+    log_mel = jnp.log(mel + 1e-6)
+    mfcc = jnp.dot(log_mel, dct_w, preferred_element_type=jnp.float32)
+    return mfcc.reshape(tb, frames, -1)
+
+
 def mfcc_tail(
     hops, dft, mel_w, dct_w, *, tb, n_hops, hop, k, num_bins, frames,
     matmul_dtype=jnp.float32,
 ):
     """[tb*n_hops, hop] hop rows -> [tb, frames, n_mfccs] MFCCs.
 
-    The SINGLE implementation of the in-kernel MFCC matmul tail
+    The "hops" variant of the in-kernel MFCC matmul tail
     (windowed-DFT partials -> hop-decomposition shifted adds -> power ->
     mel -> log -> DCT), shared by this module's kernel and the fused
     frontend/inference kernels (ops/pallas/frontend.py,
@@ -72,18 +94,105 @@ def mfcc_tail(
     for j in range(1, k):
         reim = reim + partial[:, j : j + frames, j * two_k : (j + 1) * two_k]
 
-    re = reim[:, :, :num_bins]
-    im = reim[:, :, num_bins:]
-    power = re * re + im * im
+    return mfcc_from_reim(reim, mel_w, dct_w, tb=tb, frames=frames,
+                          num_bins=num_bins)
 
-    mel = jnp.dot(
-        power.reshape(tb * frames, num_bins),
-        mel_w,
-        preferred_element_type=jnp.float32,
-    )
-    log_mel = jnp.log(mel + 1e-6)
-    mfcc = jnp.dot(log_mel, dct_w, preferred_element_type=jnp.float32)
-    return mfcc.reshape(tb, frames, -1)
+
+@functools.lru_cache(maxsize=None)
+def phase_dft_plan(window: int, hop: int, n: int, fft_length: int):
+    """Static plan for the phase-decomposed windowed DFT over the
+    lane-major [R = n/128, 128] sample layout.
+
+    Frames are grouped by phase p = f mod P where P = lcm(hop, 128)/hop:
+    within a phase, every frame starts at the same offset o_p inside a
+    128-sample lane row, so its window covers rows_p consecutive full
+    lane rows, and the DFT becomes ONE canonical matmul per phase,
+
+        reim_p[q] = concat_j(x[S*q + c_p + j]) @ W_p,   W_p[o_p:o_p+window] = dft
+
+    with q the superblock index (S = lcm/128 rows per superblock). No
+    per-frame slice assembly, no K-dim padding waste (K = rows_p*128
+    exactly), no shifted-add epilogue — the frame interleave happens on
+    matmul OUTPUTS (canonical layouts) as a middle-axis stack + leading
+    merge, which Mosaic supports.
+
+    Returns (P, S, nsb, frames, phases) with phases a tuple of
+    (c_p, rows_p, frames_p, W_p[rows_p*128, 2K] np.float32).
+    """
+    lanes = _LANES
+    assert n % lanes == 0
+    lcm = hop * lanes // math.gcd(hop, lanes)
+    assert n % lcm == 0
+    num_p = lcm // hop
+    s_rows = lcm // lanes
+    nsb = n // lcm
+    frames = 1 + (n - window) // hop
+    num_bins = fft_length // 2 + 1
+    dft = dsp.windowed_rdft_matrix(window, fft_length)  # [window, 2K]
+    phases = []
+    for p in range(num_p):
+        start = hop * p
+        c, o = divmod(start, lanes)
+        rows_p = -(-(o + window) // lanes)
+        frames_p = max(0, -(-(frames - p) // num_p))
+        # sample at stacked-lhs position j*128 + l is window index
+        # w = j*128 + l - o, so W rows [o, o+window) carry the DFT matrix
+        w = np.zeros((rows_p * lanes, 2 * num_bins), np.float32)
+        w[o : o + window] = dft
+        # last frame of the phase must not read past the signal
+        assert s_rows * (frames_p - 1) + c + rows_p <= s_rows * nsb
+        phases.append((c, rows_p, frames_p, w))
+    return num_p, s_rows, nsb, frames, tuple(phases)
+
+
+def phase_dft_available(cfg: AudioConfig, num_samples: Optional[int] = None) -> bool:
+    """Whether the phase-decomposed DFT applies (lane-aligned clips)."""
+    n = num_samples or cfg.desired_samples
+    window, hop = cfg.window_size_samples, cfg.window_stride_samples
+    if cfg.preprocess_method != "mfcc" or n < window or n % _LANES:
+        return False
+    lcm = hop * _LANES // math.gcd(hop, _LANES)
+    if n % lcm:
+        return False
+    try:
+        phase_dft_plan(window, hop, n, dsp.fft_length_for(window))
+    except AssertionError:
+        return False
+    return True
+
+
+def mfcc_tail_phases(
+    x3, dft_ws, mel_w, dct_w, *, plan, tb, num_bins, matmul_dtype=jnp.float32,
+):
+    """[tb, R, 128] lane-major samples -> [tb, frames, n_mfccs] MFCCs.
+
+    The "phases" variant of the MFCC tail (see phase_dft_plan). `dft_ws`
+    is one [rows_p*128, 2K] matrix per phase. Pure jnp on values."""
+    num_p, s_rows, nsb, frames, phases = plan
+    two_k = 2 * num_bins
+    x4 = x3.reshape(tb, nsb, s_rows, _LANES)
+    outs = []
+    for p, (c, rows_p, frames_p, _) in enumerate(phases):
+        if frames_p == 0:
+            outs.append(jnp.zeros((tb, nsb, two_k), jnp.float32))
+            continue
+        parts = []
+        for j in range(rows_p):
+            bs, ri = divmod(c + j, s_rows)
+            part = x4[:, bs : bs + frames_p, ri, :]  # [tb, frames_p, 128]
+            parts.append(part.reshape(tb * frames_p, _LANES))
+        lhs = jnp.concatenate(parts, axis=-1).astype(matmul_dtype)
+        reim_p = jnp.dot(lhs, dft_ws[p], preferred_element_type=jnp.float32)
+        reim_p = reim_p.reshape(tb, frames_p, two_k)
+        if frames_p < nsb:
+            reim_p = jnp.pad(reim_p, ((0, 0), (0, nsb - frames_p), (0, 0)))
+        outs.append(reim_p)
+    # interleave phases: [tb, nsb, P, 2K] -> [tb, nsb*P, 2K] (middle-axis
+    # stack + leading merge; minor dim untouched)
+    reim = jnp.stack(outs, axis=2).reshape(tb, nsb * num_p, two_k)
+    reim = reim[:, :frames]
+    return mfcc_from_reim(reim, mel_w, dct_w, tb=tb, frames=frames,
+                          num_bins=num_bins)
 
 
 def _kernel(audio_ref, dft_ref, mel_ref, dct_ref, out_ref, *, n_hops, hop, k, num_bins, frames, matmul_dtype):
@@ -98,8 +207,21 @@ def _kernel(audio_ref, dft_ref, mel_ref, dct_ref, out_ref, *, n_hops, hop, k, nu
     )
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def _fused_mfcc_impl(audio, cfg: AudioConfig, interpret: bool, tb: int = 8):
+def _kernel_phases(audio_ref, *refs, plan, num_bins, matmul_dtype):
+    # audio_ref: [TB, R, 128] lane-major samples (reshape done outside)
+    num_p = plan[0]
+    dft_refs = refs[:num_p]
+    mel_ref, dct_ref, out_ref = refs[num_p : num_p + 3]
+    tb = audio_ref.shape[0]
+    out_ref[:] = mfcc_tail_phases(
+        audio_ref[:], [r[:] for r in dft_refs], mel_ref[:], dct_ref[:],
+        plan=plan, tb=tb, num_bins=num_bins, matmul_dtype=matmul_dtype,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _fused_mfcc_impl(audio, cfg: AudioConfig, interpret: bool, tb: int = 8,
+                     variant: str = "hops"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -114,9 +236,6 @@ def _fused_mfcc_impl(audio, cfg: AudioConfig, interpret: bool, tb: int = 8):
 
     dft = dsp.windowed_rdft_matrix(window, fft_length)  # [window, 2K]
     two_k = 2 * num_bins
-    dft_blocks = np.concatenate(
-        [dft[j * hop : (j + 1) * hop] for j in range(k)], axis=1
-    )  # [hop, k*2K]
     mel = dsp.linear_to_mel_weight_matrix(
         cfg.num_mel_bins, num_bins, cfg.sample_rate,
         cfg.lower_edge_hertz, cfg.upper_edge_hertz,
@@ -128,42 +247,92 @@ def _fused_mfcc_impl(audio, cfg: AudioConfig, interpret: bool, tb: int = 8):
     if pad:
         audio = jnp.pad(audio, ((0, pad), (0, 0)))
     padded = audio.shape[0]
-    audio = audio.astype(jnp.float32).reshape(padded, n_hops, hop)
 
-    kernel = functools.partial(
-        _kernel, n_hops=n_hops, hop=hop, k=k, num_bins=num_bins,
-        frames=frames, matmul_dtype=matmul_dtype,
+    cost = pl.CostEstimate(
+        flops=2 * padded * (n_hops * hop * k * two_k
+                            + frames * num_bins * cfg.num_mel_bins
+                            + frames * cfg.num_mel_bins * cfg.num_mfccs),
+        bytes_accessed=padded * (n + frames * cfg.num_mfccs) * 4,
+        transcendentals=padded * frames * cfg.num_mel_bins,
     )
-    out = pl.pallas_call(
-        kernel,
-        grid=(padded // tb,),
-        in_specs=[
-            pl.BlockSpec((tb, n_hops, hop), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hop, k * two_k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_bins, cfg.num_mel_bins), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cfg.num_mel_bins, cfg.num_mfccs), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (tb, frames, cfg.num_mfccs), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((padded, frames, cfg.num_mfccs), jnp.float32),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * padded * (n_hops * hop * k * two_k
-                                + frames * num_bins * cfg.num_mel_bins
-                                + frames * cfg.num_mel_bins * cfg.num_mfccs),
-            bytes_accessed=padded * (n + frames * cfg.num_mfccs) * 4,
-            transcendentals=padded * frames * cfg.num_mel_bins,
-        ),
-    )(
-        audio,
-        jnp.asarray(dft_blocks).astype(matmul_dtype),
-        jnp.asarray(mel),
-        jnp.asarray(dct),
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
     )
+    out_spec = pl.BlockSpec(
+        (tb, frames, cfg.num_mfccs), lambda i: (i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((padded, frames, cfg.num_mfccs), jnp.float32)
+
+    if variant == "phases":
+        plan = phase_dft_plan(window, hop, n, fft_length)
+        audio = audio.astype(jnp.float32).reshape(padded, n // _LANES, _LANES)
+        kernel = functools.partial(
+            _kernel_phases, plan=plan, num_bins=num_bins,
+            matmul_dtype=matmul_dtype,
+        )
+        dft_ws = [jnp.asarray(w).astype(matmul_dtype) for *_, w in plan[4]]
+        out = pl.pallas_call(
+            kernel,
+            grid=(padded // tb,),
+            in_specs=[
+                pl.BlockSpec((tb, n // _LANES, _LANES), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            + [const_spec(w.shape) for w in dft_ws]
+            + [const_spec(mel.shape), const_spec(dct.shape)],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+            cost_estimate=cost,
+        )(audio, *dft_ws, jnp.asarray(mel), jnp.asarray(dct))
+    else:
+        dft_blocks = np.concatenate(
+            [dft[j * hop : (j + 1) * hop] for j in range(k)], axis=1
+        )  # [hop, k*2K]
+        audio = audio.astype(jnp.float32).reshape(padded, n_hops, hop)
+        kernel = functools.partial(
+            _kernel, n_hops=n_hops, hop=hop, k=k, num_bins=num_bins,
+            frames=frames, matmul_dtype=matmul_dtype,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(padded // tb,),
+            in_specs=[
+                pl.BlockSpec((tb, n_hops, hop), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                const_spec((hop, k * two_k)),
+                const_spec(mel.shape),
+                const_spec(dct.shape),
+            ],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+            cost_estimate=cost,
+        )(
+            audio,
+            jnp.asarray(dft_blocks).astype(matmul_dtype),
+            jnp.asarray(mel),
+            jnp.asarray(dct),
+        )
     if pad:
         out = out[:batch]
     return out
+
+
+def resolve_dft_variant(cfg: AudioConfig, num_samples: int) -> str:
+    """Resolve cfg.dft_variant ("auto" -> measured winner) with a
+    geometry-availability fallback to "hops"."""
+    variant = getattr(cfg, "dft_variant", "auto")
+    if variant == "auto":
+        # measured on v5e: hops wins (1.0-1.19 vs a batch-flat 1.56
+        # us/utt for phases — the per-phase matmuls are canonical but
+        # small, and the slice/stack bookkeeping costs more than the
+        # hop assembly it removes); see docs/BENCH_RESULTS.md
+        variant = "hops"
+    if variant == "phases" and not phase_dft_available(cfg, num_samples):
+        variant = "hops"
+    return variant
 
 
 def fused_mfcc(
@@ -172,6 +341,7 @@ def fused_mfcc(
     interpret: bool = False,
     tb: int = 8,
     mesh=None,
+    variant: Optional[str] = None,
 ) -> jnp.ndarray:
     """[B, N] wavs -> [B, F, num_mfccs] MFCCs via the fused kernel.
 
@@ -179,10 +349,15 @@ def fused_mfcc(
     batch tile per grid step (VMEM use and DFT-matmul M dim scale with it).
     With a multi-device `mesh`, the kernel runs per-shard under shard_map
     (a custom call cannot be partitioned by plain jit) with the batch
-    sharded over the `data` axis.
+    sharded over the `data` axis. `variant` overrides cfg.dft_variant
+    ("hops" | "phases" | "auto" — see phase_dft_plan).
     """
     if not fused_mfcc_available(cfg, audio.shape[-1]):
         return dsp.mfcc(audio, cfg)
+    if variant is None or variant == "auto":
+        variant = resolve_dft_variant(cfg, audio.shape[-1])
+    elif variant == "phases" and not phase_dft_available(cfg, audio.shape[-1]):
+        variant = "hops"
     if mesh is not None and mesh.devices.size > 1:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
@@ -190,10 +365,10 @@ def fused_mfcc(
         n_data = mesh.shape["data"]
         if audio.shape[0] % (n_data * tb) == 0:
             return shard_map(
-                lambda a: _fused_mfcc_impl(a, cfg, interpret, tb),
+                lambda a: _fused_mfcc_impl(a, cfg, interpret, tb, variant),
                 mesh=mesh,
                 in_specs=(P("data"),),
                 out_specs=P("data"),
                 check_vma=False,
             )(audio)
-    return _fused_mfcc_impl(audio, cfg, interpret, tb)
+    return _fused_mfcc_impl(audio, cfg, interpret, tb, variant)

@@ -5,10 +5,22 @@ import pytest
 
 from tcresnet_tpu.config import AudioConfig
 from tcresnet_tpu.ops import dsp
-from tcresnet_tpu.ops.pallas.mfcc import fused_mfcc, fused_mfcc_available
+from tcresnet_tpu.ops.pallas.mfcc import (
+    fused_mfcc,
+    fused_mfcc_available,
+    phase_dft_available,
+    phase_dft_plan,
+)
 
 CFG_3010 = AudioConfig()  # 480/160 -> 98x40
 CFG_4020 = AudioConfig(window_size_ms=40.0, window_stride_ms=20.0)  # 640/320 -> 49x40
+
+
+def _small(cfg, n=2560):
+    """Same window geometry on a short clip (interpret mode is slow)."""
+    import dataclasses
+
+    return dataclasses.replace(cfg, clip_duration_ms=n // 16)
 
 
 def test_availability():
@@ -19,11 +31,46 @@ def test_availability():
     assert not fused_mfcc_available(AudioConfig(preprocess_method="log_mel_spectrogram"))
 
 
+def test_phase_plan_geometry():
+    # flagship: hop 160, lcm(160,128)=640 -> 4 phases x 5-row superblocks
+    assert phase_dft_available(CFG_3010)
+    num_p, s_rows, nsb, frames, phases = phase_dft_plan(480, 160, 16000, 512)
+    assert (num_p, s_rows, nsb, frames) == (4, 5, 25, 98)
+    assert [f for _, _, f, _ in phases] == [25, 25, 24, 24]
+    assert [r for _, r, _, _ in phases] == [4, 4, 5, 5]
+    # every per-phase DFT matrix embeds the windowed-DFT rows at offset o_p
+    dft = dsp.windowed_rdft_matrix(480, 512)
+    for p, (c, rows_p, _, w) in enumerate(phases):
+        o = (160 * p) % 128
+        assert w.shape == (rows_p * 128, 514)
+        np.testing.assert_array_equal(w[o : o + 480], dft)
+        assert not w[:o].any() and not w[o + 480 :].any()
+    # 40/20 config: hop 320 -> 2 phases
+    assert phase_dft_available(CFG_4020)
+    assert phase_dft_plan(640, 320, 16000, 1024)[0] == 2
+    # clip not divisible by lcm(hop, 128) -> unavailable
+    assert not phase_dft_available(CFG_3010, 2720)
+
+
+@pytest.mark.parametrize("variant", ["hops", "phases"])
 @pytest.mark.parametrize("cfg", [CFG_3010, CFG_4020], ids=["30/10", "40/20"])
-def test_kernel_matches_xla_path(cfg, rng):
+def test_kernel_matches_xla_path(cfg, rng, variant):
+    cfg = _small(cfg)
+    n = cfg.desired_samples
+    audio = rng.uniform(-1, 1, size=(8, n)).astype(np.float32)
+    want = np.asarray(dsp.mfcc(audio, cfg))
+    got = np.asarray(fused_mfcc(audio, cfg, interpret=True, variant=variant))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("variant", ["hops", "phases"])
+@pytest.mark.parametrize("cfg", [CFG_3010, CFG_4020], ids=["30/10", "40/20"])
+def test_kernel_matches_xla_path_real_geometry(cfg, rng, variant):
     audio = rng.uniform(-1, 1, size=(8, 16000)).astype(np.float32)
     want = np.asarray(dsp.mfcc(audio, cfg))
-    got = np.asarray(fused_mfcc(audio, cfg, interpret=True))
+    got = np.asarray(fused_mfcc(audio, cfg, interpret=True, variant=variant))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 

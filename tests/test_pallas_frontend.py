@@ -76,22 +76,28 @@ def test_frontend_fusable_gates(rng):
     )
 
 
+@pytest.mark.parametrize("variant", ["hops", "phases"])
 @pytest.mark.parametrize(
     "window_ms,stride_ms", [(30.0, 10.0), (40.0, 20.0)], ids=["3010", "4020"]
 )
-def test_fused_frontend_matches_two_kernel_path(rng, window_ms, stride_ms):
+def test_fused_frontend_matches_two_kernel_path(rng, window_ms, stride_ms, variant):
     """ONE kernel (gather+augment+MFCC) vs the composed fused_gather_augment
-    -> fused_mfcc path with the same key: identical draws, identical math.
+    -> fused_mfcc path with the same key: identical draws, identical math,
+    for both in-kernel DFT decompositions (mfcc.phase_dft_plan).
 
     Tolerance is ULP-level, not exact: the augment arithmetic fuses into
     the DFT matmul in the single-kernel graph, so the compiler may
     contract mul+add chains (FMA) differently than in the standalone
     augment kernel — observed |diff| <= 4e-6 on coefficients of magnitude
     ~70 (silent rows, whose foreground path is zeroed, match exactly)."""
+    import dataclasses
+
     aug = AugmentConfig(background_frequency=0.8, background_max_volume=0.3)
     n = 2560  # % 128 == 0, % 160 == 0, % 320 == 0
     wavs3d, idx, silent, noise = _dataset(rng, n, p=4096)
-    cfg = _audio_cfg(n, window_ms, stride_ms)
+    cfg = dataclasses.replace(
+        _audio_cfg(n, window_ms, stride_ms), dft_variant=variant
+    )
     assert frontend_fusable(wavs3d, aug, cfg, noise, n)
 
     key = jax.random.key(42)
@@ -103,7 +109,7 @@ def test_fused_frontend_matches_two_kernel_path(rng, window_ms, stride_ms):
     wavs = fused_gather_augment(
         wavs3d, idx, silent, key, aug, noise, True, n, interpret=True
     )
-    want = np.asarray(fused_mfcc(wavs, cfg, interpret=True))
+    want = np.asarray(fused_mfcc(wavs, cfg, interpret=True, variant=variant))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=0)
 
