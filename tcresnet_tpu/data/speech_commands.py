@@ -212,7 +212,10 @@ def load_speech_commands(
         filenames.extend(f)
         labels.extend(l)
     split_dir = split_dirs[0]  # noise bank taken from the first root
-    if oversampling_ratio is not None:
+    # None AND 0/0.0 both mean "off" (DataConfig documents 0 = off; a
+    # literal ratio of 0 would otherwise inflate every label x5 through
+    # oversample()'s max(ratio, 1.0) floor).
+    if oversampling_ratio:
         filenames, labels = oversample(filenames, labels, oversampling_ratio)
 
     wavs = None

@@ -300,12 +300,9 @@ def preprocess(audio: jnp.ndarray, cfg: AudioConfig, mesh=None) -> jnp.ndarray:
         # Only on TPU — Mosaic lowering is TPU-only and CPU jit would
         # hit interpret-less lowering errors.
         if backend == "auto":
-            default_dev = jax.config.jax_default_device
-            platform = (
-                default_dev.platform
-                if default_dev is not None
-                else jax.default_backend()
-            )
+            from tcresnet_tpu.utils.platform import default_platform
+
+            platform = default_platform()
             backend = (
                 "pallas"
                 if (platform == "tpu" and audio.ndim == 2 and audio.shape[0] >= 2048)

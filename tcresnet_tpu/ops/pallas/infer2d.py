@@ -139,11 +139,6 @@ def _stat_affine(stats, bn_name: str):
     return np.stack([s, -mean * s])
 
 
-def _squeeze_ci1(w: np.ndarray) -> np.ndarray:
-    """[kh*kw, 1, Co] -> [kh*kw, 1, Co] kept 3D; kernel broadcasts."""
-    return w  # mode "c1" uses w[tap] as [1, Co] directly
-
-
 class _OpListBuilder:
     def __init__(self):
         self.ops: List[Tuple] = []
@@ -302,14 +297,16 @@ def _build_dscnn(model_cfg: ModelConfig, params, stats) -> _OpListBuilder:
     return b
 
 
+def _dense_bias(params, name):
+    p = params[name]
+    if "bias" not in p:
+        return None
+    return np.asarray(p["bias"], np.float32).reshape(1, -1)
+
+
 def _dense_wb(params, name):
     w = np.asarray(params[name]["kernel"], np.float32)
-    b = (
-        np.asarray(params[name]["bias"], np.float32).reshape(1, -1)
-        if "bias" in params[name]
-        else None
-    )
-    return w, b
+    return w, _dense_bias(params, name)
 
 
 def _flat_w(params, name, spatial, channels=None):
@@ -363,16 +360,16 @@ def _build_kws(model_cfg: ModelConfig, params, feature_shape) -> Tuple[_OpListBu
         w, bias = _raw_conv(params, "conv2")
         b.conv(w, bias, 10, 4, 1, 1, 1, True, "SAME")
         to, fo = -(-t_in // 2), -(-f_in // 2)
-        w, bias = _dense_wb(params, "fc")
-        b.flatten_dense(_flat_w(params, "fc", (to, fo), 64), bias)
+        b.flatten_dense(_flat_w(params, "fc", (to, fo), 64),
+                        _dense_bias(params, "fc"))
         return b, 4
 
     if arch == "tiny_conv":
         w, bias = _raw_conv(params, "conv1")
         b.conv(w, bias, 10, 8, 2, 2, 1, True, "SAME")
         to, fo = -(-t_in // 2), -(-f_in // 2)
-        w, bias = _dense_wb(params, "fc")
-        b.flatten_dense(_flat_w(params, "fc", (to, fo), 8), bias)
+        b.flatten_dense(_flat_w(params, "fc", (to, fo), 8),
+                        _dense_bias(params, "fc"))
         return b, 4
 
     if arch == "trad_fpool3":

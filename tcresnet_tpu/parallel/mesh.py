@@ -36,9 +36,10 @@ def make_mesh(
         # regardless of JAX_PLATFORMS) must not leak into a mesh built
         # for a process whose computation was pinned elsewhere — CLI
         # tests pin CPU but jax.devices() would still lead with the TPU
-        default_dev = jax.config.jax_default_device
-        if default_dev is not None:
-            devices = jax.devices(default_dev.platform)
+        if jax.config.jax_default_device is not None:
+            from tcresnet_tpu.utils.platform import default_platform
+
+            devices = jax.devices(default_platform())
         else:
             devices = jax.devices()
     devices = list(devices)

@@ -81,13 +81,9 @@ def build_inference_fn(
         if backend == "auto":
             # Mosaic lowers on TPU only; honor a pinned default device
             # (hermeticity w.r.t. registered TPU plugins, CLAUDE.md).
-            default_dev = jax.config.jax_default_device
-            platform = (
-                default_dev.platform
-                if default_dev is not None
-                else jax.default_backend()
-            )
-            supported = supported and platform == "tpu"
+            from tcresnet_tpu.utils.platform import default_platform
+
+            supported = supported and default_platform() == "tpu"
         if supported:
             if is_temporal:
                 fused = build_fused_infer(

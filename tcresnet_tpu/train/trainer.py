@@ -74,12 +74,9 @@ class Trainer:
         if mesh is not None:
             self.platform = mesh.devices.flat[0].platform
         else:
-            default_dev = jax.config.jax_default_device
-            self.platform = (
-                default_dev.platform
-                if default_dev is not None
-                else jax.default_backend()
-            )
+            from tcresnet_tpu.utils.platform import default_platform
+
+            self.platform = default_platform()
         if cfg.audio.dsp_backend == "auto":
             # Resolve here where the execution platform is known — the
             # fused front-end kernel wins at >=2k rows on TPU (flat batch

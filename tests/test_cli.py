@@ -133,3 +133,13 @@ def test_oversampling_reaches_loader(tmp_path):
     assert train.num_samples == 50
     valid = load_split(cfg, "valid")  # eval splits are never oversampled
     assert valid.num_samples == 6
+
+    # ratio 0 means OFF (DataConfig doc) — must not trip oversample()'s
+    # max(ratio, 1.0)*5 floor and silently inflate the split x5
+    args0 = parse_args([
+        "--preset", "TCResNet8-1.0", "--dataset-root", str(root),
+        "--num-silent", "0",
+        "--cfg", "model.num_classes=2",
+        "--cfg", "data.oversampling_ratio=0",
+    ])
+    assert load_split(build_config(args0), "train").num_samples == 6

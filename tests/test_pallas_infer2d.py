@@ -79,7 +79,7 @@ def _assert_parity(cfg, batch: int = 3, seed: int = 3):
 @pytest.mark.parametrize(
     "preset",
     ["DSCNNS", "DSCNNL", "TCResNet2D8-1.0", "TCResNet2D8Pool-1.0",
-     "Res8Narrow", "Res15Narrow"],
+     "Res8Narrow", "Res15", "Res15Narrow"],
 )
 def test_family_parity_small_geometry(preset):
     _assert_parity(_small_cfg(preset), batch=2)
@@ -142,7 +142,7 @@ def test_export_backend_routes_2d():
 @pytest.mark.parametrize(
     "preset",
     ["DSCNNS", "DSCNNM", "DSCNNL", "TCResNet2D8-1.0", "TCResNet2D8Pool-1.0",
-     "Res8", "Res8Narrow", "Res15Narrow"],
+     "Res8", "Res8Narrow", "Res15", "Res15Narrow"],
 )
 def test_family_parity_real_geometry(preset):
     cfg = get_preset(preset)

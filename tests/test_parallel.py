@@ -40,6 +40,20 @@ def test_mesh_bad_model_axis(cpu_devices):
         make_mesh(MeshConfig(model=3), devices=cpu_devices)
 
 
+def test_mesh_honors_string_device_pin():
+    """JAX accepts jax_default_device as a platform STRING too; make_mesh
+    must not assume a Device object (.platform AttributeError)."""
+    import jax
+
+    prev = jax.config.jax_default_device
+    try:
+        jax.config.update("jax_default_device", "cpu")
+        mesh = make_mesh(MeshConfig())
+        assert all(d.platform == "cpu" for d in mesh.devices.flat)
+    finally:
+        jax.config.update("jax_default_device", prev)
+
+
 def test_dp_training_on_8_devices(tmp_path, mesh8):
     host = make_synthetic_dataset(num_samples=256, num_classes=4, desired_samples=4000, seed=2)
     cfg = tiny_config(tmp_path / "dp", max_step=40)

@@ -39,7 +39,10 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--models", nargs="+", default=sorted(PRESETS))
     p.add_argument("--batch-size", type=int, default=1)
-    p.add_argument("--num-runs", type=int, default=50)
+    p.add_argument("--num-runs", type=int, default=None,
+                   help="runs per fori_loop diff (default: 50 for the "
+                        "XLA row, 500 for the single-digit-us fused row "
+                        "— see the fused-row comment)")
     p.add_argument("--include-preprocess", action="store_true", default=True)
     p.add_argument("--features-only", dest="include_preprocess",
                    action="store_false",
@@ -65,7 +68,7 @@ def main(argv=None):
             in_shape = (args.batch_size,) + shape
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.uniform(-1, 1, in_shape).astype(np.float32))
-        dev = benchmark_on_device(fn, x, num_runs=args.num_runs)
+        dev = benchmark_on_device(fn, x, num_runs=args.num_runs or 50)
         row = {
             "model": name,
             "params": param_count(variables["params"]),
@@ -88,7 +91,7 @@ def main(argv=None):
             # and the per-repeat samples can even go negative. 500 runs
             # puts the signal well above host jitter.
             fdev = benchmark_on_device(
-                fused_fn, x, num_runs=max(500, args.num_runs)
+                fused_fn, x, num_runs=args.num_runs or 500
             )
             row["fused_kernel_avg_us"] = round(fdev["avg"], 2)
             row["fused_kernel_spread_us"] = [
