@@ -24,6 +24,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
 def main(argv=None):
+    from tcresnet_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import argparse
     import dataclasses
     import tempfile

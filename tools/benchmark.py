@@ -84,6 +84,9 @@ def bench_preset(name: str, batch: int, steps_per_call: int, dtype: str, host):
 
 
 def main(argv=None):
+    from tcresnet_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--presets", nargs="*", default=DEFAULT_PRESETS)
     p.add_argument("--batch", type=int, default=1024)

@@ -62,6 +62,9 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    from tcresnet_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     args = parse_args(argv)
     args.train_dir_raw = args.train_dir
     cfg = build_config(args)

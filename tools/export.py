@@ -46,6 +46,9 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    from tcresnet_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     args = parse_args(argv)
 
     import jax.numpy as jnp

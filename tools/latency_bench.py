@@ -26,6 +26,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main(argv=None):
+    from tcresnet_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -262,6 +262,9 @@ def load_split(cfg, split):
 
 
 def main(argv=None):
+    from tcresnet_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     args = parse_args(argv)
     cfg = build_config(args)
 
