@@ -123,7 +123,12 @@ def _decode_all(
         arr = native_loader.decode_batch(filenames, desired_samples)
         if arr is not None:
             return arr
-    except Exception:  # pragma: no cover - fall back to numpy decode
+    except ValueError:
+        # bad DATA (decode_batch names the undecodable files): fail
+        # loudly with that diagnosis instead of silently re-decoding the
+        # whole split through the slow numpy path only to fail again
+        raise
+    except Exception:  # pragma: no cover - native lib unavailable/broken
         pass
     out = np.zeros((len(filenames), desired_samples), np.int16)
     for i, fn in enumerate(filenames):

@@ -34,8 +34,14 @@ def checkpoint_iterator(
     poll_interval: float = 2.0,
     timeout: Optional[float] = None,
     start_after: int = -1,
+    should_stop=None,
 ) -> Iterator[int]:
-    """Yield new checkpoint steps as they appear (ckpt_iterator parity)."""
+    """Yield new checkpoint steps as they appear (ckpt_iterator parity).
+
+    `should_stop()` is consulted once the backlog is drained — the
+    watcher passes a train-completion probe so an epoch/from-restore
+    -capped run (whose effective final step is below cfg.train.max_step)
+    still terminates the loop instead of polling forever."""
     last = start_after
     waited = 0.0
     while True:
@@ -47,6 +53,8 @@ def checkpoint_iterator(
                 yield s
         else:
             if timeout is not None and waited >= timeout:
+                return
+            if should_stop is not None and should_stop():
                 return
             time.sleep(poll_interval)
             waited += poll_interval
@@ -99,8 +107,15 @@ class WatchingEvaluator:
                 training=True,
             )
             # tx must see params so masked (trainable_scopes) opt states
-            # match
-            tx, _ = build_optimizer(self.cfg.optim, params=variables["params"])
+            # match. steps_per_epoch=1: the template only supplies the
+            # opt-state STRUCTURE, which schedule boundary values never
+            # affect (unit-LR optimizer, optim.py:74-135) — without it,
+            # boundaries_epoch=True configs couldn't build a template at
+            # all (the watcher has the eval split, not the train split
+            # the real boundary resolution needs).
+            tx, _ = build_optimizer(
+                self.cfg.optim, steps_per_epoch=1, params=variables["params"]
+            )
             return create_train_state(
                 self.evaluator.model,
                 tx,
@@ -116,10 +131,32 @@ class WatchingEvaluator:
         # threshold — 52 s of the evaluator CLI's startup on one CPU core
         return jax.eval_shape(build)
 
-    def evaluate_once(self, step: int) -> Dict[str, float]:
+    def evaluate_once(self, step: int) -> Optional[Dict[str, float]]:
         """Load a checkpoint and run a full-split evaluation
-        (helper/evaluator.py:102-133 parity)."""
-        state = self.ckpt.restore(self._template_state, step)
+        (helper/evaluator.py:102-133 parity).
+
+        Returns None when the checkpoint vanished between listing and
+        restore: the trainer writes faster than a full-split eval runs,
+        so a backlog can exceed max_to_keep and orbax GC deletes steps
+        the iterator already yielded — skip those instead of crashing
+        the watcher process."""
+        try:
+            state = self.ckpt.restore(self._template_state, step)
+        except Exception:
+            if step not in self.ckpt.all_steps():
+                self.log.warning(
+                    f"checkpoint step {step} was garbage-collected before "
+                    f"evaluation (trainer outpaced the watcher); skipping"
+                )
+                # the failed restore of a vanished step poisons orbax's
+                # item-layout detection (later restores raise 'Must
+                # provide args of type Composite') — start fresh
+                self.ckpt = CheckpointManager(
+                    self.workdir / "ckpt",
+                    max_to_keep=self.cfg.train.max_to_keep,
+                )
+                return None
+            raise
         if self.mesh is not None:
             import jax
 
@@ -141,8 +178,13 @@ class WatchingEvaluator:
 
         self.best_keeper.save_best_state(keep, jax.device_get(state), step)
         self.writer.write(step, scores)
+        # accuracy/loss may be excluded via cfg.data.exclude_metric_names
+        # (BestKeeper.monitor already tolerates a missing tracked metric)
+        shown = "  ".join(
+            f"{k} {scores[k]:.4f}" for k in ("accuracy", "loss") if k in scores
+        )
         self.log.info(
-            f"step {step}: acc {scores['accuracy']:.4f} loss {scores['loss']:.4f}"
+            f"step {step}: {shown or f'{len(scores)} metrics'}"
             + ("  [best kept]" if any(keep.values()) else "")
         )
         # log-only classification report, as the reference's report op
@@ -158,11 +200,20 @@ class WatchingEvaluator:
         poll_interval: float = 2.0,
         timeout: Optional[float] = None,
     ) -> Optional[Dict[str, float]]:
-        """Loop over checkpoints until max_step is evaluated or timeout."""
+        """Loop over checkpoints until max_step is evaluated, the trainer
+        signals completion (TRAIN_DONE sentinel — covers epoch/from-
+        restore-capped runs whose final step is below cfg.train.max_step),
+        or timeout."""
         max_step = max_step or self.cfg.train.max_step
+        done_file = self.ckpt.directory / "TRAIN_DONE"
         last_scores = None
-        for step in checkpoint_iterator(self.ckpt, poll_interval, timeout):
-            last_scores = self.evaluate_once(step)
+        for step in checkpoint_iterator(
+            self.ckpt, poll_interval, timeout,
+            should_stop=done_file.exists,
+        ):
+            scores = self.evaluate_once(step)
+            if scores is not None:
+                last_scores = scores
             if step >= max_step:
                 break
         self.writer.flush()

@@ -50,9 +50,15 @@ class CheckpointManager:
         return steps[-1] if steps else None
 
     def all_steps(self) -> Sequence[int]:
-        # read=True re-scans the directory: a watcher process creates its
-        # manager BEFORE the trainer process writes any checkpoint, and
-        # orbax's cached listing would stay empty forever.
+        # Re-scan the directory on every call: a watcher process creates
+        # its manager BEFORE the trainer process writes any checkpoint
+        # (cached listing would stay empty forever), and the trainer's
+        # max_to_keep GC deletes steps a backlogged watcher still has
+        # listed. Newer orbax deprecated all_steps(read=True) — and it no
+        # longer actually re-reads — in favor of an explicit reload().
+        if hasattr(self._mgr, "reload"):
+            self._mgr.reload()
+            return sorted(self._mgr.all_steps())
         return sorted(self._mgr.all_steps(read=True))
 
     def restore(self, state_like, step: Optional[int] = None):

@@ -392,22 +392,13 @@ class Trainer:
         return new_state, metrics
 
     def _build_train_fn(self):
-        n_steps = self.steps_per_call
-
-        def train_n(state, wavs, labels, silent, noise_bank):
-            arrays = (wavs, labels, silent)
-
-            def body(carry, _):
-                new_state, metrics = self._one_step(carry, arrays, noise_bank)
-                return new_state, metrics
-
-            state, metrics = jax.lax.scan(body, state, None, length=n_steps)
-            # report the mean over the fused window (losses) and the last lr
-            summary = {k: jnp.mean(v) for k, v in metrics.items()}
-            summary["learning_rate"] = metrics["learning_rate"][-1]
-            return state, summary
-
-        return jax.jit(train_n, donate_argnums=(0,))
+        # the full-size chunk is just _train_fn_with_length at the default
+        # length (one implementation; train() builds the same jit for
+        # remainder chunks)
+        return jax.jit(
+            functools.partial(self._train_fn_with_length, self.steps_per_call),
+            donate_argnums=(0,),
+        )
 
     # ------------------------------------------------------------------
     # the host loop
@@ -431,9 +422,14 @@ class Trainer:
                 max_step,
                 start + cfg.max_epoch_from_restore * self._steps_per_epoch,
             )
+        done_file = self.ckpt.directory / "TRAIN_DONE"
         if start >= max_step:
             self.log.info(f"Already at step {start} >= {max_step}")
+            done_file.write_text(str(start))
             return self.state
+        # a stale sentinel from a previously COMPLETED run must not stop
+        # a watcher observing this (resumed, higher-budget) run
+        done_file.unlink(missing_ok=True)
 
         arrays = self.data.arrays
         noise = self.data.noise_bank
@@ -446,8 +442,15 @@ class Trainer:
         # i are converted to floats while chunk i+1 executes, keeping the
         # host sync off the critical path (the device tunnel's round trip
         # would otherwise stall every summary-writing call).
-        pending = None  # (step, device summary, n, dispatch time)
+        pending = None  # (step, device summary, window n, window elapsed)
         t_last = time.perf_counter()
+        # Throughput is accounted over the whole WINDOW since the last
+        # summary, not the last chunk alone: with async dispatch, a single
+        # now-t_last interval measures the pacing of an EARLIER chunk (the
+        # dispatch return is gated by queue backpressure), which would
+        # inflate utt/s before backpressure builds and misattribute a
+        # full chunk's duration to the final (smaller) remainder chunk.
+        win_n, win_elapsed = 0, 0.0
         while step < max_step:
             n = min(self.steps_per_call, max_step - step)
             if n != self.steps_per_call:
@@ -463,6 +466,9 @@ class Trainer:
             self.state, summary = fn(self.state, *arrays, noise)
             prev_step, step = step, step + n
             now = time.perf_counter()
+            win_n += n
+            win_elapsed += now - t_last
+            t_last = now
 
             # All interval checks use boundary-crossing semantics over the
             # (prev_step, step] window: the loop advances n steps per host
@@ -474,8 +480,11 @@ class Trainer:
                 step, cfg.summary_step_default, cfg.summary_step_verbose,
                 cfg.summary_first_n, prev_step=prev_step,
             ) or step >= max_step
-            pending = (step, summary, n, now - t_last) if wants_summary else None
-            t_last = now
+            if wants_summary:
+                pending = (step, summary, win_n, win_elapsed)
+                win_n, win_elapsed = 0, 0.0
+            else:
+                pending = None
 
             if crossed_boundary(prev_step, step, cfg.step_evaluation):
                 self._train_stream_eval(step)
@@ -494,9 +503,15 @@ class Trainer:
             self._write_summary(*pending)
         self.ckpt.wait()
         self.writer.flush()
+        # completion sentinel: lets a loop watcher exit even when the
+        # EFFECTIVE final step (epoch / from-restore caps above) is below
+        # cfg.train.max_step (evaluation/watcher.watch)
+        done_file.write_text(str(step))
         return self.state
 
     def _write_summary(self, step: int, summary, n: int, elapsed: float) -> None:
+        """`summary` holds the last chunk's device metrics; `n`/`elapsed`
+        span the whole window since the previous summary."""
         summary = {k: float(v) for k, v in summary.items()}
         ms_per_step = elapsed / n * 1000
         summary["ms_per_step"] = ms_per_step

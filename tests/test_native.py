@@ -39,6 +39,17 @@ def test_decode_bad_file_raises(tmp_path, wav_files):
         native_loader.decode_batch([wav_files[0], str(bad)], 16000)
 
 
+def test_decode_all_propagates_bad_data(tmp_path, wav_files):
+    """_decode_all must surface the native decoder's bad-file diagnosis
+    instead of swallowing it and re-decoding the split via numpy."""
+    from tcresnet_tpu.data.speech_commands import _decode_all
+
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"junk" * 8)
+    with pytest.raises((ValueError, EOFError)):
+        _decode_all([wav_files[0], str(bad)], 16000)
+
+
 def test_wav_num_samples(wav_files):
     assert native_loader.wav_num_samples(wav_files[0]) == 16000
     assert native_loader.wav_num_samples(wav_files[1]) == 8000

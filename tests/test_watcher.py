@@ -109,3 +109,88 @@ def test_checkpoint_iterator_timeout(tmp_path):
     ckpt = CheckpointManager(tmp_path / "empty")
     steps = list(checkpoint_iterator(ckpt, poll_interval=0.05, timeout=0.2))
     assert steps == []
+
+
+def test_watch_exits_on_train_done_sentinel(tmp_path):
+    """An epoch/from-restore-capped run finishes BELOW cfg.train.max_step;
+    watch() must exit via the trainer's TRAIN_DONE sentinel instead of
+    polling forever (default --timeout is None)."""
+    host = make_synthetic_dataset(num_samples=128, num_classes=4, desired_samples=4000, seed=10)
+    valid = make_synthetic_dataset(num_samples=32, num_classes=4, desired_samples=4000, seed=11)
+    import dataclasses
+
+    cfg = tiny_config(tmp_path / "run", max_step=10_000)
+    # epoch cap: 128 samples / batch 32 = 4 steps/epoch -> stops at 28
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, max_epoch=7))
+    trainer = Trainer(cfg, DeviceDataset(host), workdir=tmp_path / "run")
+    trainer.train()
+    trainer.ckpt.wait()
+    assert (trainer.ckpt.directory / "TRAIN_DONE").read_text() == "28"
+
+    valid.split = "valid"
+    watcher = WatchingEvaluator(cfg, DeviceDataset(valid), tmp_path / "run")
+    # no timeout: without the sentinel this would hang (max_step=10000 is
+    # never reached)
+    scores = watcher.watch(poll_interval=0.05, timeout=None)
+    assert scores is not None and np.isfinite(scores["loss"])
+
+
+def test_watcher_skips_gc_deleted_checkpoint(tmp_path):
+    """A backlogged step GC'd between listing and restore is skipped with
+    a warning, not a watcher crash."""
+    import shutil
+
+    host = make_synthetic_dataset(num_samples=128, num_classes=4, desired_samples=4000, seed=12)
+    valid = make_synthetic_dataset(num_samples=32, num_classes=4, desired_samples=4000, seed=13)
+    cfg = tiny_config(tmp_path / "run", max_step=60)  # ckpts at 30, 60
+    trainer = Trainer(cfg, DeviceDataset(host), workdir=tmp_path / "run")
+    trainer.train()
+    trainer.ckpt.wait()
+
+    valid.split = "valid"
+    watcher = WatchingEvaluator(cfg, DeviceDataset(valid), tmp_path / "run")
+    shutil.rmtree(watcher.ckpt.directory / "30")  # GC races the restore
+    assert watcher.evaluate_once(30) is None  # skipped, no crash
+    scores = watcher.watch(max_step=60, poll_interval=0.05, timeout=1.0)
+    assert scores is not None and np.isfinite(scores["loss"])
+
+
+def test_watcher_tolerates_excluded_metrics(tmp_path):
+    """cfg.data.exclude_metric_names removing accuracy/loss must not
+    crash the post-eval log line."""
+    import dataclasses
+
+    host = make_synthetic_dataset(num_samples=64, num_classes=4, desired_samples=4000, seed=14)
+    valid = make_synthetic_dataset(num_samples=32, num_classes=4, desired_samples=4000, seed=15)
+    cfg = tiny_config(tmp_path / "run", max_step=10)
+    trainer = Trainer(cfg, DeviceDataset(host), workdir=tmp_path / "run")
+    trainer.train()
+    trainer.ckpt.wait()
+
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, exclude_metric_names=("accuracy",))
+    )
+    valid.split = "valid"
+    watcher = WatchingEvaluator(cfg, DeviceDataset(valid), tmp_path / "run")
+    scores = watcher.evaluate_once(10)  # must not raise KeyError
+    assert "accuracy" not in scores and np.isfinite(scores["loss"])
+
+
+def test_template_builds_with_epoch_boundaries(tmp_path):
+    """boundaries_epoch=True configs need a template too (the watcher has
+    no train split to resolve real boundaries; structure is unaffected)."""
+    import dataclasses
+
+    from tcresnet_tpu.config import OptimConfig
+
+    valid = make_synthetic_dataset(num_samples=32, num_classes=4, desired_samples=4000, seed=16)
+    cfg = tiny_config(tmp_path / "run", max_step=10)
+    cfg = cfg.replace(
+        optim=OptimConfig(
+            optimizer="adam", lr_list=(3e-3, 3e-4), boundaries=(2,),
+            boundaries_epoch=True,
+        )
+    )
+    valid.split = "valid"
+    watcher = WatchingEvaluator(cfg, DeviceDataset(valid), tmp_path / "run")
+    assert watcher._template_state is not None
