@@ -193,6 +193,9 @@ class TrainConfig:
     summary_step_default: int = 10
     summary_step_verbose: int = 2000
     summary_first_n: int = 30
+    # DEFAULT-tier summaries start at this step (reference
+    # --step_min_summaries, helper/trainer.py:377,503; default 0 = ungated)
+    summary_step_min: int = 0
     # Compute dtype for conv/matmul inside the model ("bfloat16" uses the
     # MXU's native precision; params/batch-stats stay fp32).
     compute_dtype: str = "float32"

@@ -16,9 +16,15 @@ import numpy as np
 
 
 def top_k_accuracy(scores: np.ndarray, labels: np.ndarray, k: int = 5) -> float:
-    """Own top-k impl, matching metrics/funcs.py:4-20."""
+    """Own top-k impl, matching metrics/funcs.py:4-20 incl. ties.
+
+    The reference takes argsort(-scores)[:, :k] (stable ascending over
+    negated scores), which breaks ties toward the LOWEST class index; a
+    plain argsort(scores)[:, -k:] would keep the highest-index tie
+    members instead. Deviation: k is clamped to the class count (the
+    reference asserts scores.shape[1] >= k)."""
     k = min(k, scores.shape[1])
-    topk = np.argsort(scores, axis=1)[:, -k:]
+    topk = np.argsort(-scores, axis=1, kind="stable")[:, :k]
     return float(np.mean(np.any(topk == labels[:, None], axis=1)))
 
 

@@ -30,14 +30,21 @@ class MetricWriter:
                 self._tb = None
 
     def write(self, step: int, metrics: Dict[str, float], prefix: str = "") -> None:
+        import math
+
         record = {"step": int(step), "time": time.time()}
         for k, v in metrics.items():
             key = f"{prefix}{k}"
             if isinstance(v, str):
                 continue
-            record[key] = float(v)
-            if self._tb is not None:
-                self._tb.add_scalar(key, float(v), int(step))
+            v = float(v)
+            # bare NaN/Infinity tokens are not valid JSON (strict
+            # consumers like jq/JSON.parse reject the whole line) —
+            # undefined metrics (e.g. mAP on a single-class batch)
+            # become null
+            record[key] = v if math.isfinite(v) else None
+            if self._tb is not None and math.isfinite(v):
+                self._tb.add_scalar(key, v, int(step))
         self._jsonl.write(json.dumps(record) + "\n")
 
     def write_text(self, step: int, tag: str, text: str) -> None:
@@ -47,7 +54,7 @@ class MetricWriter:
     def write_audio(self, step: int, tag: str, wavs, sample_rate: int = 16000) -> None:
         """Audio summaries of input wavs (reference WavSummaryOp,
         metrics/ops/tensor_ops.py:40-54); TensorBoard-only, max 4 clips."""
-        if self._tb is None:
+        if self._tb is None or not getattr(self, "_audio_ok", True):
             return
         import numpy as np
 
@@ -59,7 +66,9 @@ class MetricWriter:
                     sample_rate=sample_rate,
                 )
         except Exception:  # tensorboardX audio needs soundfile; optional
-            self._tb = self._tb  # keep scalars working; audio silently off
+            # scalars keep working; skip the (re-)conversion cost on
+            # every later verbose step
+            self._audio_ok = False
 
     def flush(self) -> None:
         self._jsonl.flush()
@@ -86,17 +95,21 @@ def crossed_boundary(prev_step: int, step: int, every: int) -> bool:
 
 def should_write_summary(
     step: int, default_every: int, verbose_every: int, first_n: int,
-    prev_step: int = None,
+    prev_step: int = None, min_step: int = 0,
 ) -> bool:
     """Tiered cadence check (helper/trainer.py:377-391).
 
     With `prev_step` given, uses boundary-crossing semantics over the
-    (prev_step, step] window; otherwise exact-step checks.
+    (prev_step, step] window; otherwise exact-step checks. `min_step`
+    gates the DEFAULT tier only (reference --step_min_summaries,
+    helper/trainer.py:377,503; first-N and verbose tiers are ungated,
+    as in the reference). Deviation: gated on the absolute step, not
+    step_from_restore — all cadences here are absolute (SURVEY.md 7.5).
     """
     if prev_step is None:
         prev_step = step - 1
     return (
         prev_step < first_n
-        or crossed_boundary(prev_step, step, default_every)
+        or (step >= min_step and crossed_boundary(prev_step, step, default_every))
         or crossed_boundary(prev_step, step, verbose_every)
     )

@@ -40,6 +40,7 @@ class PallasTemporalConv(nn.Module):
     stride: int
     kernel_init: Any
     interpret: bool = False
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -49,6 +50,11 @@ class PallasTemporalConv(nn.Module):
             "kernel", self.kernel_init,
             (self.kernel_size[0], 1, x.shape[-1], self.features),
         )
+        # honor compute_dtype like nn.Conv(dtype=...) does (params stay
+        # f32 in storage; computation in dtype)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kern = kern.astype(self.dtype)
         return pallas_temporal_conv(x, kern, self.stride, interpret=self.interpret)
 
 
@@ -84,6 +90,7 @@ def slim_conv(
             stride=stride[0],
             kernel_init=kernel_init or glorot_uniform(),
             interpret=conv_backend == "pallas-interpret",
+            dtype=dtype,
             name=name,
         )(x)
     return nn.Conv(

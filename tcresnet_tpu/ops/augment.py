@@ -161,6 +161,11 @@ def mix_background(
     noise clip index, a crop offset, and (training only, with prob
     background_frequency) a volume in U[0, max_volume); output clipped.
 
+    `volumes=None` draws v1/naive volumes inline; v2 (silence rows get
+    their own U[0,1) volume) callers must pass
+    draw_background_volumes(...) — augment() dispatches on
+    cfg.naive_background_mix and does exactly that.
+
     noise_bank: [num_clips, clip_len] float32, clip_len >= num_samples.
     Lives in HBM once; crops are dynamic slices on device.
     """

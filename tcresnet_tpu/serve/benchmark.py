@@ -32,18 +32,30 @@ def benchmark_compiled(
     warmup_runs: int = 10,
     num_runs: int = 50,
 ) -> Dict[str, float]:
-    """Time `fn(example)` with the reference protocol; times in usec."""
+    """Time `fn(example)` with the reference protocol; times in usec.
+
+    Completion is forced with a value FETCH, not block_until_ready —
+    through the axon device tunnel block_until_ready can return before
+    the computation finishes (CLAUDE.md), which would record dispatch
+    time instead of execution time. The fetch makes each sample include
+    one host round trip, like the reference's host-timed adb protocol;
+    benchmark_on_device below is the tunnel-free variant.
+    """
+
+    def run_and_fetch():
+        return jax.tree_util.tree_map(np.asarray, fn(example))
+
     t0 = time.perf_counter()
-    jax.block_until_ready(fn(example))
+    run_and_fetch()
     first = (time.perf_counter() - t0) * 1e6
 
     for _ in range(warmup_runs - 1):
-        jax.block_until_ready(fn(example))
+        run_and_fetch()
 
     times = np.empty(num_runs)
     for i in range(num_runs):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(example))
+        run_and_fetch()
         times[i] = (time.perf_counter() - t0) * 1e6
 
     return {

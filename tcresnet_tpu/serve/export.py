@@ -57,7 +57,18 @@ def build_inference_fn(
         params = variables.eval_params if use_ema else variables.params
         batch_stats = variables.batch_stats
     else:
-        params = variables["params"]
+        if use_ema:
+            # never silently ship raw params when the caller asked for
+            # EMA weights (wrong deployed accuracy with no error)
+            params = variables.get("ema_params")
+            if params is None:
+                raise ValueError(
+                    "use_ema=True but the variables mapping has no "
+                    "'ema_params' (pass the TrainState or the full "
+                    "checkpoint dict)"
+                )
+        else:
+            params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
 
     if backend in ("fused", "auto"):

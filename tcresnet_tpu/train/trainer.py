@@ -479,6 +479,7 @@ class Trainer:
             wants_summary = should_write_summary(
                 step, cfg.summary_step_default, cfg.summary_step_verbose,
                 cfg.summary_first_n, prev_step=prev_step,
+                min_step=cfg.summary_step_min,
             ) or step >= max_step
             if wants_summary:
                 pending = (step, summary, win_n, win_elapsed)

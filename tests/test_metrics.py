@@ -22,6 +22,11 @@ def test_top_k():
     assert top_k_accuracy(scores, labels, 3) == 1.0
     # k larger than classes is clamped
     assert top_k_accuracy(scores, labels, 10) == 1.0
+    # ties break toward the LOWEST class index (reference
+    # argsort(-scores)[:, :k] semantics, metrics/funcs.py:4-20)
+    tied = np.asarray([[0.25, 0.25, 0.25, 0.25]])
+    assert top_k_accuracy(tied, np.asarray([0]), 1) == 1.0
+    assert top_k_accuracy(tied, np.asarray([3]), 1) == 0.0
 
 
 def test_metric_battery():
@@ -62,6 +67,27 @@ def test_summary_cadence():
     assert not should_write_summary(31, 10, 2000, 30)
     assert should_write_summary(40, 10, 2000, 30)
     assert should_write_summary(2000, 10, 2000, 30)
+    # --step_min_summaries parity: min_step gates the DEFAULT tier only
+    assert not should_write_summary(40, 10, 2000, 30, min_step=100)
+    assert should_write_summary(100, 10, 2000, 30, min_step=100)
+    assert should_write_summary(20, 10, 2000, 30, min_step=100)  # first-N
+    assert should_write_summary(2000, 10, 2000, 3, min_step=9999)  # verbose
+
+
+def test_jsonl_writer_sanitizes_nonfinite(tmp_path):
+    import json
+
+    from tcresnet_tpu.metrics.writers import MetricWriter
+
+    w = MetricWriter(tmp_path, "valid")
+    w.write(10, {"ok": 1.0, "bad": float("nan"), "inf": float("inf")})
+    w.close()
+    (line,) = [
+        json.loads(ln)
+        for f in tmp_path.rglob("*.jsonl")
+        for ln in f.read_text().splitlines()
+    ]  # strict parser must accept every line
+    assert line["ok"] == 1.0 and line["bad"] is None and line["inf"] is None
 
 
 def test_crossed_boundary():

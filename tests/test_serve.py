@@ -51,6 +51,28 @@ def test_aot_parity_with_training_graph():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+def test_use_ema_with_dict_variables():
+    """A {'params',...} mapping + use_ema=True must use ema_params (or
+    fail loudly), never silently ship raw params."""
+    import pytest
+
+    cfg = small_cfg()
+    model, variables = init_variables(cfg)
+    d = dict(variables)
+    with pytest.raises(ValueError, match="ema_params"):
+        build_inference_fn(cfg, d, use_ema=True)
+
+    # with EMA weights present (here: zeros), they must actually be used
+    ema = jax.tree_util.tree_map(jnp.zeros_like, variables["params"])
+    fn = build_inference_fn(cfg, {**d, "ema_params": ema}, use_ema=True)
+    wavs = jnp.asarray(
+        np.random.default_rng(3).uniform(-1, 1, (2, cfg.audio.desired_samples)).astype(np.float32)
+    )
+    out = np.asarray(fn(wavs))
+    # zero params -> uniform softmax
+    np.testing.assert_allclose(out, 1.0 / out.shape[-1], atol=1e-5)
+
+
 def test_features_only_inference():
     cfg = small_cfg()
     model, variables = init_variables(cfg)
