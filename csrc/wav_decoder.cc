@@ -60,7 +60,10 @@ int decode_one(const char* path, int desired_samples, int16_t* out) {
       std::memcpy(&num_channels, fmt + 2, 2);
       std::memcpy(&bits, fmt + 14, 2);
       have_fmt = true;
-      if (c.size > 16) std::fseek(f, c.size - 16, SEEK_CUR);
+      // skip any fmt extension; chunks are 2-aligned, so odd sizes carry
+      // a pad byte (Python's chunk.py honors it — parity with the
+      // numpy-oracle decode path)
+      if (c.size > 16) std::fseek(f, ((c.size + 1) & ~1u) - 16, SEEK_CUR);
     } else if (std::memcmp(c.id, "data", 4) == 0) {
       data_pos = std::ftell(f);
       data_size = c.size;

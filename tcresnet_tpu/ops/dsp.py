@@ -238,8 +238,10 @@ def spectrogram(
     """[..., N] float32 -> [..., F, K] power or magnitude spectrogram.
 
     Matches tf.contrib.signal.stft + |.|^2 (or |.|) at
-    preprocessors.py:68-77, expressed as MXU matmuls (gather-free hop
-    decomposition when geometry allows, else framing gather).
+    preprocessors.py:68-77, expressed as MXU matmuls via the framing
+    gather (measured fastest XLA formulation; the hop decomposition
+    lost to it on hardware and now lives only inside the fused Pallas
+    kernels — docs/BENCH_RESULTS.md, ops/pallas/mfcc.py).
     """
     audio = audio.astype(jnp.float32)
     num_bins = fft_length_for(window) // 2 + 1

@@ -49,6 +49,11 @@ def make_mesh(
             f"model axis {model} does not divide device count {len(devices)}"
         )
     data = cfg.data if cfg.data > 0 else len(devices) // model
+    if data * model > len(devices):
+        raise ValueError(
+            f"mesh ({data=}, {model=}) needs {data * model} devices, "
+            f"have {len(devices)}"
+        )
     if data * model != len(devices):
         devices = devices[: data * model]
     arr = np.asarray(devices).reshape(data, model)

@@ -98,7 +98,9 @@ def test_none_field_cfg_override_typing():
     assert ok.data.oversampling_ratio == 1.0  # int coerced to float
 
     for bad in ["model.bn_momentum=abc", "model.bn_momentum=true",
-                "data.oversampling_ratio=[1,2]"]:
+                "data.oversampling_ratio=[1,2]",
+                "train.max_step=[100]",  # list into a scalar numeric
+                "train.max_step=true"]:
         with pytest.raises(SystemExit):
             build_config(parse_args(
                 ["--preset", "TCResNet8-1.0", "--synthetic", "--cfg", bad]

@@ -39,6 +39,33 @@ def test_decode_bad_file_raises(tmp_path, wav_files):
         native_loader.decode_batch([wav_files[0], str(bad)], 16000)
 
 
+def test_odd_fmt_chunk_pad_byte(tmp_path):
+    """RIFF chunks are 2-aligned: an odd-sized fmt chunk carries a pad
+    byte that must be skipped, or every later chunk header is read one
+    byte off and the data chunk is never found (Python's chunk.py — the
+    numpy oracle — honors the pad)."""
+    import struct
+
+    samples = np.arange(-50, 50, dtype=np.int16)
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16) + b"\x07"  # 17B
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"\x00"  # pad
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    p = tmp_path / "oddfmt.wav"
+    p.write_bytes(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+    from tcresnet_tpu.data import wav as wavlib
+
+    oracle, rate = wavlib.decode_wav_int16(str(p), 100)
+    assert rate == 16000 and oracle.shape == (100,)
+    got = native_loader.decode_batch([str(p)], 100)
+    if got is not None:  # native lib available
+        np.testing.assert_array_equal(got[0], oracle)
+
+
 def test_decode_all_propagates_bad_data(tmp_path, wav_files):
     """_decode_all must surface the native decoder's bad-file diagnosis
     instead of swallowing it and re-decoding the split via numpy."""

@@ -40,6 +40,11 @@ def test_mesh_bad_model_axis(cpu_devices):
         make_mesh(MeshConfig(model=3), devices=cpu_devices)
 
 
+def test_mesh_too_few_devices(cpu_devices):
+    with pytest.raises(ValueError, match="needs 16 devices, have 8"):
+        make_mesh(MeshConfig(data=16), devices=cpu_devices)
+
+
 def test_mesh_honors_string_device_pin():
     """JAX accepts jax_default_device as a platform STRING too; make_mesh
     must not assume a Device object (.platform AttributeError)."""

@@ -51,3 +51,62 @@ def test_prepare_builds_tree(tmp_path):
     with redirect_stdout(buf):
         prep_main(["--extracted", str(src), "--out", str(out), "--unknown-pct", "50", "--copy"])
     assert "Placed 0 files" in buf.getvalue()
+
+
+def test_split_lists_source_layout(tmp_path, capsys):
+    """The reference's SHIPPED lists use source-layout labels
+    (bed/x.wav, _silence_/x.wav — speech_commands_dataset/train.txt):
+    non-keywords must be remapped to unknown/<word>_<file>, silence rows
+    counted (they are the reference's per-split --num_silent values) but
+    not placed."""
+    src = tmp_path / "raw"
+    rng = np.random.default_rng(1)
+    for word in ["yes", "bed"]:
+        for i in range(2):
+            wavlib.write_wav_pcm16(
+                src / word / f"s{i}_nohash_0.wav", rng.uniform(-0.5, 0.5, 800)
+            )
+
+    lists = tmp_path / "lists"
+    lists.mkdir()
+    (lists / "train.txt").write_text(
+        "yes/s0_nohash_0.wav\nbed/s0_nohash_0.wav\n_silence_/x_nohash_0.wav\n"
+        "_silence_/x_nohash_0.wav\n"
+    )
+    (lists / "valid.txt").write_text("yes/s1_nohash_0.wav\n_silence_/y_nohash_0.wav\n")
+    (lists / "test.txt").write_text("bed/s1_nohash_0.wav\n")
+
+    out = tmp_path / "out"
+    prep_main([
+        "--extracted", str(src), "--out", str(out),
+        "--split-lists", str(lists), "--copy",
+    ])
+    wavs = sorted(str(p.relative_to(out)) for p in out.glob("*/*/*.wav"))
+    assert wavs == [
+        "test/unknown/bed_s1_nohash_0.wav",
+        "train/unknown/bed_s0_nohash_0.wav",
+        "train/yes/s0_nohash_0.wav",
+        "valid/yes/s1_nohash_0.wav",
+    ]
+    # silence rows reported per split (incl. duplicates, like the
+    # reference's 1854/258/257), never placed
+    outtxt = capsys.readouterr().out
+    assert "'train': 2" in outtxt and "'valid': 1" in outtxt and "'test': 0" in outtxt
+
+
+def test_split_lists_output_layout_roundtrip(tmp_path):
+    """Output-layout lines (unknown/<word>_<file>) keep working."""
+    src = tmp_path / "raw"
+    rng = np.random.default_rng(2)
+    wavlib.write_wav_pcm16(src / "cat" / "a_nohash_0.wav", rng.uniform(-0.5, 0.5, 800))
+    lists = tmp_path / "lists"
+    lists.mkdir()
+    (lists / "train.txt").write_text("unknown/cat_a_nohash_0.wav\n")
+    (lists / "valid.txt").write_text("")
+    (lists / "test.txt").write_text("")
+    out = tmp_path / "out"
+    prep_main([
+        "--extracted", str(src), "--out", str(out),
+        "--split-lists", str(lists), "--copy",
+    ])
+    assert (out / "train" / "unknown" / "cat_a_nohash_0.wav").exists()

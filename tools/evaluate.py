@@ -43,7 +43,6 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--compute-dtype", default=None)
     p.add_argument("--num-silent", type=int, default=None)
-    p.add_argument("--steps-per-call", type=int, default=None)
     p.add_argument("--clip-duration-ms", type=int, default=None)
     p.add_argument("--best-metric", default=None,
                    help="once mode: load the promoted best checkpoint for "
@@ -66,8 +65,15 @@ def main(argv=None):
 
     enable_persistent_cache()
     args = parse_args(argv)
-    args.train_dir_raw = args.train_dir
     cfg = build_config(args)
+    if args.batch_size:
+        # the evaluator reads data.eval_batch_size, not train.batch_size
+        # (which build_config's shared mapping sets)
+        import dataclasses
+
+        cfg = cfg.replace(
+            data=dataclasses.replace(cfg.data, eval_batch_size=args.batch_size)
+        )
 
     from tcresnet_tpu.data.device_data import DeviceDataset
     from tcresnet_tpu.evaluation.watcher import WatchingEvaluator
@@ -85,23 +91,31 @@ def main(argv=None):
     if args.valid_type == "once":
         if args.best_metric:
             # reference final-eval pattern: load the best-valid promotion
+            # via BestKeeper's own layout (single source of truth — the
+            # same lookup tools/export.py uses)
+            from tcresnet_tpu.evaluation.best_keeper import BestKeeper
             from tcresnet_tpu.train.checkpoint import CheckpointManager
 
-            best_dir = (
-                Path(args.train_dir) / "best" / args.best_split / args.best_metric
+            bk = BestKeeper(
+                {args.best_metric: "max"}, args.best_split,
+                Path(args.train_dir) / "best",
             )
-            if not best_dir.exists():
+            best = bk.best_checkpoint_dir(args.best_metric)
+            if best is None:
                 promoted = sorted(
                     str(p.relative_to(Path(args.train_dir) / "best"))
                     for p in (Path(args.train_dir) / "best").glob("*/*")
                 ) if (Path(args.train_dir) / "best").exists() else []
                 raise SystemExit(
-                    f"No promoted best checkpoint at {best_dir}"
+                    f"No promoted best checkpoint for "
+                    f"{args.best_split}/{args.best_metric}"
                     + (f" (promoted: {promoted})" if promoted else "")
                 )
-            watcher.ckpt = CheckpointManager(best_dir)
+            watcher.ckpt = CheckpointManager(best.parent)
+            if args.step is None:
+                args.step = int(best.name)
             log.info(
-                f"Loading best-{args.best_split}/{args.best_metric} from {best_dir}"
+                f"Loading best-{args.best_split}/{args.best_metric} from {best}"
             )
         step = args.step if args.step is not None else watcher.ckpt.latest_step()
         if step is None:

@@ -110,15 +110,37 @@ def main(argv=None):
     # assignment: filename -> (split, label-dir, out-name)
     assignments = []
     if args.split_lists:
+        # Lines come in two layouts, both supported:
+        #   source layout (the reference's shipped lists at
+        #   /root/reference/speech_commands_dataset/*.txt): raw GSC
+        #   labels — `bed/x.wav` for non-keywords (remapped to
+        #   unknown/bed_x.wav here) and `_silence_/x.wav` rows counted
+        #   but not placed (silence is injected at load time);
+        #   output layout: already `unknown/<word>_<file>`.
+        silence_counts = {"train": 0, "valid": 0, "test": 0}
         for split, lines in load_split_lists(Path(args.split_lists)).items():
             for line in lines:
                 label, fname = line.split("/", 1)
+                if label == "_silence_":
+                    silence_counts[split] += 1
+                    continue
+                if label == BACKGROUND_DIR:
+                    continue  # linked into every split below
                 if label == "unknown":
                     word, base = fname.split("_", 1)
-                    src_file = src / word / base
+                    assignments.append((split, label, fname, src / word / base))
+                elif label in keywords:
+                    assignments.append((split, label, fname, src / label / fname))
                 else:
-                    src_file = src / label / fname
-                assignments.append((split, label, fname, src_file))
+                    assignments.append(
+                        (split, "unknown", f"{label}_{fname}", src / label / fname)
+                    )
+        if any(silence_counts.values()):
+            print(
+                "Per-split silence counts from the lists (pass as "
+                "--num-silent / --num-silent-valid / --num-silent-test): "
+                f"{silence_counts}"
+            )
     else:
         rng = random.Random(args.seed)
         unknown_pool = {"train": [], "valid": [], "test": []}

@@ -140,7 +140,6 @@ def main(argv=None) -> int:
     args = parse_args(argv)
     # Expand %DATE%/%USER%/%FIELD% placeholders ONCE so trainer and
     # evaluator share the same concrete directory.
-    args.train_dir_raw = args.train_dir
     cfg = build_config(args)
     train_dir = cfg.train.train_dir
     Path(train_dir).mkdir(parents=True, exist_ok=True)

@@ -160,10 +160,11 @@ def apply_cfg_overrides(cfg, items):
             if isinstance(old, bool) or isinstance(val, bool):
                 raise SystemExit(f"--cfg {path} expects a JSON bool, got {raw!r}")
         if isinstance(old, (int, float)) and not isinstance(old, bool):
-            if isinstance(val, str):
+            if not isinstance(val, (int, float)) or isinstance(val, bool):
+                # reject strings AND lists/bools: [100] into max_step
+                # would fail with a TypeError deep inside the train loop
                 raise SystemExit(f"--cfg {path} expects a number, got {raw!r}")
-            if isinstance(val, (int, float)):
-                val = type(old)(val)
+            val = type(old)(val)
         if old is None and val is not None:
             # Current value gives no type signal — validate against the
             # dataclass field's declared type so a bad override fails here
