@@ -105,6 +105,20 @@ def windowed_rdft_matrix(window_size: int, fft_length: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def dft_hop_blocks(window: int, hop: int, fft_length: int) -> np.ndarray:
+    """[hop, k*2K] hop-decomposed DFT matrix: block j holds rows
+    j*hop:(j+1)*hop of windowed_rdft_matrix (frame = concat of k hop
+    blocks, so reim[f] = sum_j hops[f+j] @ block_j). The single source
+    for the hop-blocked layout used by _reim_via_hops and the fused
+    Pallas kernels (ops/pallas/{mfcc,frontend,infer}.py)."""
+    dft = windowed_rdft_matrix(window, fft_length)
+    k = window // hop
+    return np.concatenate(
+        [dft[j * hop : (j + 1) * hop] for j in range(k)], axis=1
+    )
+
+
+@functools.lru_cache(maxsize=None)
 def linear_to_mel_weight_matrix(
     num_mel_bins: int,
     num_spectrogram_bins: int,
@@ -214,11 +228,7 @@ def _reim_via_hops(audio: jnp.ndarray, window: int, hop: int) -> jnp.ndarray:
     n_hops = audio.shape[-1] // hop
     frames = n_hops - k + 1
     hops = audio.reshape(audio.shape[:-1] + (n_hops, hop))
-    dft = jnp.asarray(windowed_rdft_matrix(window, fft_length))
-    # [hop, k * 2K]: block j holds rows j*hop:(j+1)*hop of the DFT matrix.
-    dft_blocks = jnp.concatenate(
-        [dft[j * hop : (j + 1) * hop] for j in range(k)], axis=1
-    )
+    dft_blocks = jnp.asarray(dft_hop_blocks(window, hop, fft_length))
     partial = jnp.einsum(
         "...nh,hk->...nk", hops, dft_blocks, preferred_element_type=jnp.float32
     )

@@ -28,8 +28,10 @@ Hardware constraints honored (discovered empirically on v5e):
   - 2D HBM DMA slices need 8-row (1024-sample) aligned offsets/sizes ->
     the noise bank is a [rows, 128] matrix and crop windows are DMA'd at
     8-row granularity, with the sub-tile remainder handled by the same
-    2D roll decomposition (or skipped entirely when
-    AugmentConfig.noise_crop_quantize, the default).
+    2D roll decomposition — the sample-exact default (and fastest,
+    kernel v4; docs/BENCH_RESULTS.md). AugmentConfig.noise_crop_quantize
+    (default False) skips the remainder roll for 1024-sample-quantized
+    crop offsets.
 
 All randomness (shift, clip index, offset, volume, gate, silence) is
 drawn OUTSIDE with jax.random on [B] arrays and enters through scalar
@@ -190,13 +192,7 @@ def _fused_augment_impl(wavs, scalars, noise_bank, n, interpret, quantize_crops=
     # remainder roll (exact mode) can use the 2D decomposition.
     noise2d, stride, win_rows = _noise_bank_2d(noise_bank, n)
     scratch_rows = _next_pow2(win_rows)
-
-    off_aligned = (offs // _ALIGN) * _ALIGN
-    if quantize_crops:
-        rems = jnp.zeros_like(off_aligned, jnp.int32)
-    else:
-        rems = (offs - off_aligned).astype(jnp.int32)
-    start_rows = ((clips * stride + off_aligned) // _LANES).astype(jnp.int32)
+    rems, start_rows = crop_scalar_prep(offs, clips, stride, quantize_crops)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -300,6 +296,24 @@ def _kernel_gather(
         )
 
 
+def crop_scalar_prep(offs, clips, stride, quantize_crops: bool):
+    """Per-row noise-crop scalars -> (rems, start_rows).
+
+    start_rows: 8-row-aligned DMA start row inside the 2D noise bank
+    (clip row base + aligned offset); rems: the sub-align remainder the
+    in-kernel roll removes (zeroed in quantized mode). The ONE
+    implementation shared by fused_augment, fused_gather_augment, and
+    the single-kernel frontend (ops/pallas/frontend.py) — the three must
+    never drift (same scalars feed the same kernel bodies)."""
+    off_aligned = (offs // _ALIGN) * _ALIGN
+    if quantize_crops:
+        rems = jnp.zeros_like(off_aligned, jnp.int32)
+    else:
+        rems = (offs - off_aligned).astype(jnp.int32)
+    start_rows = ((clips * stride + off_aligned) // _LANES).astype(jnp.int32)
+    return rems, start_rows
+
+
 def _noise_bank_2d(noise_bank, n):
     """[K, L] noise bank -> ([rows, 128] matrix, row stride) for 8-row DMA."""
     k_clips, clip_len = noise_bank.shape
@@ -337,12 +351,7 @@ def _fused_gather_augment_impl(
 
     noise2d, stride, win_rows = _noise_bank_2d(noise_bank, n)
     scratch_rows = _next_pow2(max(win_rows, a_rows))
-    off_aligned = (offs // _ALIGN) * _ALIGN
-    if quantize_crops:
-        rems = jnp.zeros_like(off_aligned, jnp.int32)
-    else:
-        rems = (offs - off_aligned).astype(jnp.int32)
-    start_rows = ((clips * stride + off_aligned) // _LANES).astype(jnp.int32)
+    rems, start_rows = crop_scalar_prep(offs, clips, stride, quantize_crops)
 
     def wav_spec(r):
         # block (1, A, 128) = dataset row idx[i*TB + r]; the index map
@@ -430,6 +439,9 @@ def gather_fusable(
         cfg.method != "no_augmentation_audio"
         and noise_bank is not None
         and noise_bank.shape[0] > 0
+        # crops need clip_len >= n: randint(0, clip_len - n + 1) with an
+        # empty range would produce out-of-bounds DMA row offsets
+        and noise_bank.shape[1] >= n
         and n % _LANES == 0
         and lanes == _LANES
         and p == _next_pow2(p)

@@ -48,6 +48,7 @@ from tcresnet_tpu.ops.pallas.augment import (
     _draw_scalars,
     _next_pow2,
     _noise_bank_2d,
+    crop_scalar_prep,
     gather_fusable,
     mix_crop_row,
     sample_positions,
@@ -208,12 +209,7 @@ def _impl(wavs3d, idx, scalars, noise_bank, n, cfg, interpret, quantize_crops,
 
     noise2d, stride, win_rows = _noise_bank_2d(noise_bank, n)
     scratch_rows = _next_pow2(max(win_rows, a_rows))
-    off_aligned = (offs // _ALIGN) * _ALIGN
-    if quantize_crops:
-        rems = jnp.zeros_like(off_aligned, jnp.int32)
-    else:
-        rems = (offs - off_aligned).astype(jnp.int32)
-    start_rows = ((clips * stride + off_aligned) // _LANES).astype(jnp.int32)
+    rems, start_rows = crop_scalar_prep(offs, clips, stride, quantize_crops)
 
     # MFCC geometry + constants
     window = cfg.window_size_samples
@@ -223,8 +219,6 @@ def _impl(wavs3d, idx, scalars, noise_bank, n, cfg, interpret, quantize_crops,
     k = window // hop
     n_hops = n // hop
     frames = n_hops - k + 1
-    two_k = 2 * num_bins
-    dft = dsp.windowed_rdft_matrix(window, fft_length)
     mel = dsp.linear_to_mel_weight_matrix(
         cfg.num_mel_bins, num_bins, cfg.sample_rate,
         cfg.lower_edge_hertz, cfg.upper_edge_hertz,
@@ -241,9 +235,7 @@ def _impl(wavs3d, idx, scalars, noise_bank, n, cfg, interpret, quantize_crops,
         phase_plan = None
         dft_ws = [
             jnp.asarray(
-                np.concatenate(
-                    [dft[j * hop : (j + 1) * hop] for j in range(k)], axis=1
-                )
+                dsp.dft_hop_blocks(window, hop, fft_length)
             ).astype(matmul_dtype)
         ]
 

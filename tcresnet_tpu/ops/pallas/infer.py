@@ -239,10 +239,7 @@ def build_fused_infer(
     num_mfcc = audio_cfg.num_mfccs
     ncls = model_cfg.num_classes
 
-    dft = dsp.windowed_rdft_matrix(window, fft_length)
-    dft_blocks = np.concatenate(
-        [dft[j * hop : (j + 1) * hop] for j in range(k_dft)], axis=1
-    )
+    dft_blocks = dsp.dft_hop_blocks(window, hop, fft_length)
     mel = dsp.linear_to_mel_weight_matrix(
         num_mel, num_bins, audio_cfg.sample_rate,
         audio_cfg.lower_edge_hertz, audio_cfg.upper_edge_hertz,

@@ -185,7 +185,7 @@ class _OpListBuilder:
         # w [T, F, C, U] (4D input) or [T, F, U] (3D input); b [1, U]|None.
         # Replaces reshape(b, -1) + Dense without a minor-dim reshape:
         # a batched dot_general over the spatial dims, summed after.
-        self.ops.append(("flatten_dense", relu, b is not None, w.ndim))
+        self.ops.append(("flatten_dense", relu, b is not None))
         self.weights.append(w)
         if b is not None:
             self.weights.append(b)
@@ -453,7 +453,7 @@ def build_op_list(model_cfg: ModelConfig, params, stats, feature_shape):
 # ---------------------------------------------------------------------------
 
 
-def _stride_select(x, axis: int, stride: int, out_len: int):
+def _stride_select(x, axis: int, stride: int):
     """Take every `stride`-th row along a MIDDLE axis via a leading-dim
     split reshape (the minor dim is untouched)."""
     if stride == 1:
@@ -499,10 +499,10 @@ def _conv2d_step(x, w, b, kh, kw, sh, sw, dil, relu, padding, mode):
     acc = None
     for i in range(kh):
         sl_t = jax.lax.slice_in_dim(x, i * dil, i * dil + span_t, axis=1)
-        sl_t = _stride_select(sl_t, 1, sh, to)
+        sl_t = _stride_select(sl_t, 1, sh)
         for j in range(kw):
             sl = jax.lax.slice_in_dim(sl_t, j * dil, j * dil + span_f, axis=2)
-            sl = _stride_select(sl, 2, sw, fo)
+            sl = _stride_select(sl, 2, sw)
             tap = i * kw + j
             if mode == "full":
                 part = jnp.dot(
@@ -528,10 +528,10 @@ def _pool2d_step(x, ph, pw, sh, sw):
     acc = None
     for i in range(ph):
         sl_t = jax.lax.slice_in_dim(x, i, i + span_t, axis=1)
-        sl_t = _stride_select(sl_t, 1, sh, to)
+        sl_t = _stride_select(sl_t, 1, sh)
         for j in range(pw):
             sl = jax.lax.slice_in_dim(sl_t, j, j + span_f, axis=2)
-            sl = _stride_select(sl, 2, sw, fo)
+            sl = _stride_select(sl, 2, sw)
             acc = sl if acc is None else acc + sl
     return acc * (1.0 / (ph * pw))
 
@@ -560,10 +560,10 @@ def _maxpool2d_step(x, ph, pw, sh, sw, padding):
     acc = None
     for i in range(ph):
         sl_t = jax.lax.slice_in_dim(x, i, i + span_t, axis=1)
-        sl_t = _stride_select(sl_t, 1, sh, to)
+        sl_t = _stride_select(sl_t, 1, sh)
         for j in range(pw):
             sl = jax.lax.slice_in_dim(sl_t, j, j + span_f, axis=2)
-            sl = _stride_select(sl, 2, sw, fo)
+            sl = _stride_select(sl, 2, sw)
             acc = sl if acc is None else jnp.maximum(acc, sl)
     return acc
 
@@ -615,7 +615,7 @@ def _tconv_full_step(x, w, b, kw, sw, relu):
     acc = None
     for j in range(kw):
         sl = jax.lax.slice_in_dim(x, j, j + span_f, axis=2)
-        sl = _stride_select(sl, 2, sw, fo)  # [TB, T, Fo, 1]
+        sl = _stride_select(sl, 2, sw)  # [TB, T, Fo, 1]
         part = jax.lax.dot_general(
             sl, w[j],
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -703,6 +703,9 @@ def _kernel2d(*refs, tb: int, ops: Tuple[Tuple, ...]):
                 x = _mask_cols(x, vf)
         elif kind == "pool":
             _, ph, pw, sh, sw = op
+            # pad columns are zero: an avg window spanning them would be
+            # silently wrong (conv handles vf via re-zeroing; pools don't)
+            assert vf is None, "avg pool after F-padding is unsupported"
             x = _pool2d_step(x, ph, pw, sh, sw)
             if sh == 1 and sw == 1 and x.shape[2] % 8:
                 vf = x.shape[2]
@@ -711,6 +714,7 @@ def _kernel2d(*refs, tb: int, ops: Tuple[Tuple, ...]):
                 )
         elif kind == "maxpool":
             _, ph, pw, sh, sw, padding = op
+            assert vf is None, "max pool after F-padding is unsupported"
             x = _maxpool2d_step(x, ph, pw, sh, sw, padding)
         elif kind == "save":
             shortcut = x
@@ -741,7 +745,7 @@ def _kernel2d(*refs, tb: int, ops: Tuple[Tuple, ...]):
             if relu:
                 x = jnp.maximum(x, 0.0)
         elif kind == "flatten_dense":
-            _, relu, has_bias, _wndim = op
+            _, relu, has_bias = op
             w = wrefs[wi][:]
             wi += 1
             b = None
@@ -796,7 +800,10 @@ def build_fused_infer2d(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from tcresnet_tpu.ops.pallas.mfcc import _fused_mfcc_impl
+    from tcresnet_tpu.ops.pallas.mfcc import (
+        _fused_mfcc_impl,
+        resolve_dft_variant,
+    )
 
     tb = tb or _FAMILY_TB[model_cfg.name]
     n = audio_cfg.desired_samples
@@ -820,7 +827,8 @@ def build_fused_infer2d(
         batch = wavs.shape[0]
         assert wavs.shape[1] == n
         feats = _fused_mfcc_impl(
-            wavs.astype(jnp.float32), audio_cfg, interpret, min(8, batch)
+            wavs.astype(jnp.float32), audio_cfg, interpret, min(8, batch),
+            resolve_dft_variant(audio_cfg, n),  # honor cfg.dft_variant
         )  # [B, T, F]
         tb_eff = min(tb, batch)
         pad_b = (-batch) % tb_eff

@@ -120,9 +120,13 @@ def phase_dft_plan(window: int, hop: int, n: int, fft_length: int):
     (c_p, rows_p, frames_p, W_p[rows_p*128, 2K] np.float32).
     """
     lanes = _LANES
-    assert n % lanes == 0
+    # explicit raises, not asserts: phase_dft_available gates geometry
+    # support by catching this, and python -O strips assert statements
+    if n % lanes:
+        raise ValueError(f"clip length {n} not lane-aligned")
     lcm = hop * lanes // math.gcd(hop, lanes)
-    assert n % lcm == 0
+    if n % lcm:
+        raise ValueError(f"clip length {n} not divisible by lcm {lcm}")
     num_p = lcm // hop
     s_rows = lcm // lanes
     nsb = n // lcm
@@ -140,7 +144,11 @@ def phase_dft_plan(window: int, hop: int, n: int, fft_length: int):
         w = np.zeros((rows_p * lanes, 2 * num_bins), np.float32)
         w[o : o + window] = dft
         # last frame of the phase must not read past the signal
-        assert s_rows * (frames_p - 1) + c + rows_p <= s_rows * nsb
+        if s_rows * (frames_p - 1) + c + rows_p > s_rows * nsb:
+            raise ValueError(
+                f"phase {p} would read past the signal "
+                f"(window {window}, hop {hop}, n {n})"
+            )
         phases.append((c, rows_p, frames_p, w))
     return num_p, s_rows, nsb, frames, tuple(phases)
 
@@ -156,7 +164,7 @@ def phase_dft_available(cfg: AudioConfig, num_samples: Optional[int] = None) -> 
         return False
     try:
         phase_dft_plan(window, hop, n, dsp.fft_length_for(window))
-    except AssertionError:
+    except ValueError:
         return False
     return True
 
@@ -234,7 +242,6 @@ def _fused_mfcc_impl(audio, cfg: AudioConfig, interpret: bool, tb: int = 8,
     n_hops = n // hop
     frames = n_hops - k + 1
 
-    dft = dsp.windowed_rdft_matrix(window, fft_length)  # [window, 2K]
     two_k = 2 * num_bins
     mel = dsp.linear_to_mel_weight_matrix(
         cfg.num_mel_bins, num_bins, cfg.sample_rate,
@@ -248,13 +255,16 @@ def _fused_mfcc_impl(audio, cfg: AudioConfig, interpret: bool, tb: int = 8,
         audio = jnp.pad(audio, ((0, pad), (0, 0)))
     padded = audio.shape[0]
 
-    cost = pl.CostEstimate(
-        flops=2 * padded * (n_hops * hop * k * two_k
-                            + frames * num_bins * cfg.num_mel_bins
-                            + frames * cfg.num_mel_bins * cfg.num_mfccs),
-        bytes_accessed=padded * (n + frames * cfg.num_mfccs) * 4,
-        transcendentals=padded * frames * cfg.num_mel_bins,
-    )
+    tail_flops = (frames * num_bins * cfg.num_mel_bins
+                  + frames * cfg.num_mel_bins * cfg.num_mfccs)
+
+    def cost_for(dft_flops_per_row):
+        return pl.CostEstimate(
+            flops=2 * padded * (dft_flops_per_row + tail_flops),
+            bytes_accessed=padded * (n + frames * cfg.num_mfccs) * 4,
+            transcendentals=padded * frames * cfg.num_mel_bins,
+        )
+
     const_spec = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
     )
@@ -272,6 +282,10 @@ def _fused_mfcc_impl(audio, cfg: AudioConfig, interpret: bool, tb: int = 8,
             matmul_dtype=matmul_dtype,
         )
         dft_ws = [jnp.asarray(w).astype(matmul_dtype) for *_, w in plan[4]]
+        # per-phase canonical matmuls: [frames_p, rows_p*128] @ [., 2K]
+        phases_flops = sum(
+            f_p * r_p * _LANES * two_k for _, r_p, f_p, _ in plan[4]
+        )
         out = pl.pallas_call(
             kernel,
             grid=(padded // tb,),
@@ -284,12 +298,10 @@ def _fused_mfcc_impl(audio, cfg: AudioConfig, interpret: bool, tb: int = 8,
             out_specs=out_spec,
             out_shape=out_shape,
             interpret=interpret,
-            cost_estimate=cost,
+            cost_estimate=cost_for(phases_flops),
         )(audio, *dft_ws, jnp.asarray(mel), jnp.asarray(dct))
     else:
-        dft_blocks = np.concatenate(
-            [dft[j * hop : (j + 1) * hop] for j in range(k)], axis=1
-        )  # [hop, k*2K]
+        dft_blocks = dsp.dft_hop_blocks(window, hop, fft_length)
         audio = audio.astype(jnp.float32).reshape(padded, n_hops, hop)
         kernel = functools.partial(
             _kernel, n_hops=n_hops, hop=hop, k=k, num_bins=num_bins,
@@ -308,7 +320,7 @@ def _fused_mfcc_impl(audio, cfg: AudioConfig, interpret: bool, tb: int = 8,
             out_specs=out_spec,
             out_shape=out_shape,
             interpret=interpret,
-            cost_estimate=cost,
+            cost_estimate=cost_for(n_hops * hop * k * two_k),
         )(
             audio,
             jnp.asarray(dft_blocks).astype(matmul_dtype),

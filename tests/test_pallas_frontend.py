@@ -70,6 +70,9 @@ def test_frontend_fusable_gates(rng):
     assert not frontend_fusable(
         wavs3d, aug, dataclasses.replace(cfg, window_size_ms=25.0), noise, n
     )
+    # noise clips shorter than the output length: the crop-offset draw
+    # randint(0, clip_len - n + 1) would have an empty range -> OOB DMA
+    assert not frontend_fusable(wavs3d, aug, cfg, noise[:, : n - 128], n)
     # no-augmentation method is not gather-fusable
     assert not frontend_fusable(
         wavs3d, AugmentConfig(method="no_augmentation_audio"), cfg, noise, n
