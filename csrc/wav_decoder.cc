@@ -26,13 +26,15 @@ namespace {
 constexpr int kErrOpen = -1;
 constexpr int kErrFormat = -2;
 constexpr int kErrUnsupported = -3;
+constexpr int kErrRate = -4;  // header sample rate != expected_rate
 
 struct Chunk {
   char id[4];
   uint32_t size;
 };
 
-int decode_one(const char* path, int desired_samples, int16_t* out) {
+int decode_one(const char* path, int desired_samples, int expected_rate,
+               int16_t* out) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return kErrOpen;
 
@@ -44,6 +46,7 @@ int decode_one(const char* path, int desired_samples, int16_t* out) {
   }
 
   uint16_t audio_format = 0, num_channels = 0, bits = 0;
+  uint32_t sample_rate = 0;
   bool have_fmt = false;
   long data_pos = -1;
   uint32_t data_size = 0;
@@ -58,6 +61,7 @@ int decode_one(const char* path, int desired_samples, int16_t* out) {
       }
       std::memcpy(&audio_format, fmt + 0, 2);
       std::memcpy(&num_channels, fmt + 2, 2);
+      std::memcpy(&sample_rate, fmt + 4, 4);
       std::memcpy(&bits, fmt + 14, 2);
       have_fmt = true;
       // skip any fmt extension; chunks are 2-aligned, so odd sizes carry
@@ -80,6 +84,10 @@ int decode_one(const char* path, int desired_samples, int16_t* out) {
   if (audio_format != 1 || bits != 16 || num_channels == 0) {
     std::fclose(f);
     return kErrUnsupported;
+  }
+  if (expected_rate > 0 && sample_rate != (uint32_t)expected_rate) {
+    std::fclose(f);
+    return kErrRate;
   }
 
   const uint32_t bytes_per_frame = 2u * num_channels;
@@ -119,9 +127,11 @@ int decode_one(const char* path, int desired_samples, int16_t* out) {
 extern "C" {
 
 // Decode `n` files into out[n * desired_samples] (int16, row-major).
-// status[n] receives per-file codes. Returns count of failures.
+// status[n] receives per-file codes. expected_rate > 0 rejects files
+// whose header sample rate differs (kErrRate). Returns failure count.
 int tcresnet_decode_batch(const char** paths, int n, int desired_samples,
-                          int16_t* out, int* status, int n_threads) {
+                          int expected_rate, int16_t* out, int* status,
+                          int n_threads) {
   if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
   if (n_threads > n) n_threads = n > 0 ? n : 1;
 
@@ -132,7 +142,7 @@ int tcresnet_decode_batch(const char** paths, int n, int desired_samples,
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) break;
-      int rc = decode_one(paths[i], desired_samples,
+      int rc = decode_one(paths[i], desired_samples, expected_rate,
                           out + (int64_t)i * desired_samples);
       status[i] = rc;
       if (rc != 0) failures.fetch_add(1);

@@ -48,6 +48,7 @@ class DeviceDataset:
     def __init__(self, host: HostDataset, mesh: Optional[Mesh] = None):
         self.label_names = host.label_names
         self.num_samples = host.num_samples
+        self.num_logical_samples = host.num_logical_samples
         self.num_classes = host.num_classes
         self.split = host.split
         self.mesh = mesh
@@ -72,6 +73,12 @@ class DeviceDataset:
         self.is_silent = put(host.is_silent)  # [N] bool
         self.noise_bank = (
             put(host.noise_bank) if host.noise_bank is not None else None
+        )
+        # logical->physical oversampling map ([M] int32, or None): the
+        # train sampler draws uniformly over M and maps through it, so
+        # duplicated samples cost no extra HBM (speech_commands.py).
+        self.sample_row = (
+            put(host.sample_row) if host.sample_row is not None else None
         )
 
     # -- functional accessors used inside jitted steps ---------------------
@@ -98,16 +105,23 @@ class DeviceDataset:
         key: jax.Array,
         batch_size: int,
         mesh: Optional[Mesh] = None,
+        sample_row: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Draw uniform-with-replacement batch INDICES on device.
 
         Returns (idx[B] int32, labels[B] int32, is_silent[B] bool) —
         wav rows stay in the HBM dataset; the fused gather+augment kernel
-        reads them directly by index. Pure function — call inside jit.
+        reads them directly by index. With `sample_row` (oversampling),
+        the draw is uniform over the LOGICAL axis and mapped to physical
+        rows, reproducing the reference's duplicated-list distribution
+        without duplicating data. Pure function — call inside jit.
         """
         wavs, labels, is_silent = arrays
-        n = wavs.shape[0]
-        idx = jax.random.randint(key, (batch_size,), 0, n)
+        if sample_row is not None:
+            li = jax.random.randint(key, (batch_size,), 0, sample_row.shape[0])
+            idx = sample_row[li]
+        else:
+            idx = jax.random.randint(key, (batch_size,), 0, wavs.shape[0])
         batch = (idx, labels[idx], is_silent[idx])
         if mesh is not None:
             batch = meshlib.shard_batch(mesh, batch)

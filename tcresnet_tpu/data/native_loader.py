@@ -59,6 +59,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_char_p),
             ctypes.c_int,
             ctypes.c_int,
+            ctypes.c_int,
             ctypes.POINTER(ctypes.c_int16),
             ctypes.POINTER(ctypes.c_int),
             ctypes.c_int,
@@ -77,11 +78,15 @@ def available() -> bool:
 
 
 def decode_batch(
-    filenames: Sequence[str], desired_samples: int, n_threads: int = 0
+    filenames: Sequence[str],
+    desired_samples: int,
+    n_threads: int = 0,
+    expected_rate: int = 0,
 ) -> Optional[np.ndarray]:
     """Decode wavs into [N, desired_samples] int16, or None if the native
     lib is unavailable. Raises on undecodable files (matching the numpy
-    path's behavior of failing loudly on bad data)."""
+    path's behavior of failing loudly on bad data). expected_rate > 0
+    rejects files whose header sample rate differs (status -4)."""
     lib = _load()
     if lib is None:
         return None
@@ -93,12 +98,16 @@ def decode_batch(
         arr,
         n,
         desired_samples,
+        expected_rate,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         n_threads,
     )
     if failures:
-        bad = [filenames[i] for i in np.nonzero(status)[0][:5]]
+        bad = [
+            f"{filenames[i]} (rc={status[i]})"
+            for i in np.nonzero(status)[0][:5]
+        ]
         raise ValueError(f"{failures} wav files failed to decode, e.g. {bad}")
     return out
 

@@ -7,13 +7,19 @@ audio_data_wrapper.py):
   - per-split file/label listing in label-major order (:147-191);
   - silence injection: `num_silent` empty samples labeled `__null__`
     (auto = num_samples // num_labels) (audio_data_wrapper.py:164-174);
-  - background-noise bank loaded whole from `_background_noise_`
-    (audio_data_wrapper.py:146-162);
+  - background-noise bank loaded whole from `_background_noise_` of
+    EVERY sub-dataset root (audio_data_wrapper.py:146-162 iterates
+    dataset_paths);
   - optional oversampling by label (data_wrapper_base.py:219-248).
 
 TPU-first difference: instead of a filename-based tf.data pipeline, all
 wavs are decoded ONCE into an int16 cache array [N, desired_samples]
 (memmap-backed on disk) that is then uploaded to HBM; see device_data.py.
+Oversampling therefore duplicates no wav rows: each unique file is
+decoded/cached/uploaded once and the duplication lives in `sample_row`,
+a logical->physical index vector the train sampler draws through (the
+reference duplicated filename list entries; the sampled distribution is
+identical).
 """
 
 from __future__ import annotations
@@ -43,10 +49,22 @@ class HostDataset:
     label_names: Tuple[str, ...]
     noise_bank: Optional[np.ndarray]  # [K, L] float32 in [-1,1), or None
     split: str = ""
+    # Logical->physical row map from oversampling: [M] int32 with M >= N,
+    # or None (identity). Train sampling draws uniformly over the LOGICAL
+    # axis; eval always visits each physical row exactly once.
+    sample_row: Optional[np.ndarray] = None
 
     @property
     def num_samples(self) -> int:
+        """Physical (unique) row count — the eval universe."""
         return int(self.wavs.shape[0])
+
+    @property
+    def num_logical_samples(self) -> int:
+        """Sampling-universe size: inflated by oversampling duplicates."""
+        if self.sample_row is not None:
+            return int(self.sample_row.shape[0])
+        return self.num_samples
 
     @property
     def num_classes(self) -> int:
@@ -114,13 +132,22 @@ def oversample(
 
 
 def _decode_all(
-    filenames: Sequence[str], desired_samples: int
+    filenames: Sequence[str],
+    desired_samples: int,
+    expected_rate: Optional[int] = None,
 ) -> np.ndarray:
-    """Decode wavs to an int16 matrix, preferring the C++ batch decoder."""
+    """Decode wavs to an int16 matrix, preferring the C++ batch decoder.
+
+    `expected_rate` (when given) rejects files whose header sample rate
+    differs — a wrong-rate wav would otherwise silently produce features
+    with the wrong time/frequency geometry.
+    """
     try:
         from tcresnet_tpu.data import native_loader
 
-        arr = native_loader.decode_batch(filenames, desired_samples)
+        arr = native_loader.decode_batch(
+            filenames, desired_samples, expected_rate=expected_rate or 0
+        )
         if arr is not None:
             return arr
     except ValueError:
@@ -132,7 +159,9 @@ def _decode_all(
         pass
     out = np.zeros((len(filenames), desired_samples), np.int16)
     for i, fn in enumerate(filenames):
-        out[i], _ = wavlib.decode_wav_int16(fn, desired_samples)
+        out[i], _ = wavlib.decode_wav_int16(
+            fn, desired_samples, expected_rate=expected_rate
+        )
     return out
 
 
@@ -156,8 +185,15 @@ def _cache_key(filenames: Sequence[str], desired_samples: int) -> str:
     return h.hexdigest()[:16]
 
 
-def load_noise_bank(split_dir: Path, min_len: int) -> Optional[np.ndarray]:
+def load_noise_bank(
+    split_dirs, min_len: int, expected_rate: Optional[int] = None
+) -> Optional[np.ndarray]:
     """Load `_background_noise_` wavs into a padded [K, L] float32 bank.
+
+    `split_dirs` is one split directory or a list of them: noise is
+    collected from EVERY sub-dataset root, like the reference's
+    prepare_silent_data loop over dataset_paths
+    (audio_data_wrapper.py:146-162).
 
     Clips shorter than `min_len` are dropped (a crop of desired length
     must exist, matching tf.random_crop's requirement); clips are
@@ -166,14 +202,19 @@ def load_noise_bank(split_dir: Path, min_len: int) -> Optional[np.ndarray]:
     an accepted deviation documented here (the reference keeps ragged
     clips as separate graph constants, augmentation_factory.py:62-67).
     """
-    noise_dir = split_dir / const.BACKGROUND_NOISE_DIR_NAME
-    if not noise_dir.is_dir():
-        return None
+    if isinstance(split_dirs, (str, Path)):
+        split_dirs = [split_dirs]
     clips = []
-    for f in sorted(noise_dir.glob("*.wav")):
-        samples, _ = wavlib.decode_wav_float32(f)
-        if samples.shape[0] >= min_len:
-            clips.append(samples)
+    for split_dir in split_dirs:
+        noise_dir = Path(split_dir) / const.BACKGROUND_NOISE_DIR_NAME
+        if not noise_dir.is_dir():
+            continue
+        for f in sorted(noise_dir.glob("*.wav")):
+            samples, _ = wavlib.decode_wav_float32(
+                f, expected_rate=expected_rate
+            )
+            if samples.shape[0] >= min_len:
+                clips.append(samples)
     if not clips:
         return None
     max_len = max(c.shape[0] for c in clips)
@@ -192,6 +233,7 @@ def load_speech_commands(
     cache_dir: Optional[str] = None,
     add_null_class: bool = True,
     oversampling_ratio: Optional[float] = None,
+    sample_rate: Optional[int] = None,
 ) -> HostDataset:
     """Load one split of a `<root>/<split>/<label>/*.wav` tree.
 
@@ -199,7 +241,9 @@ def load_speech_commands(
     support, reference --has_sub_dataset: data_wrapper_base.py:108-112 —
     label sets must agree across roots, :140). Decode results are cached
     as `<cache_dir>/<split>-<hash>.npy` so subsequent runs start
-    instantly.
+    instantly. `sample_rate` (when given) validates every wav header at
+    decode time — wrong-rate audio fails loudly instead of silently
+    producing wrong feature geometry.
     """
     roots = (
         [dataset_root]
@@ -216,12 +260,18 @@ def load_speech_commands(
         f, l = list_files(d, label_names)
         filenames.extend(f)
         labels.extend(l)
-    split_dir = split_dirs[0]  # noise bank taken from the first root
     # None AND 0/0.0 both mean "off" (DataConfig documents 0 = off; a
     # literal ratio of 0 would otherwise inflate every label x5 through
-    # oversample()'s max(ratio, 1.0) floor).
+    # oversample()'s max(ratio, 1.0) floor). Oversampling duplicates
+    # INDEX entries, not wav rows: unique files are decoded/cached/
+    # uploaded once and the duplication lives in sample_row.
+    sample_row = None
     if oversampling_ratio:
-        filenames, labels = oversample(filenames, labels, oversampling_ratio)
+        sample_idx, _ = oversample(
+            list(range(len(filenames))), labels, oversampling_ratio
+        )
+        sample_row = np.asarray(sample_idx, np.int32)
+    n_logical = len(sample_row) if sample_row is not None else len(filenames)
 
     wavs = None
     if cache_dir:
@@ -231,22 +281,30 @@ def load_speech_commands(
             wavs = np.load(cache_path, mmap_mode="r")
             log.info(f"Loaded decode cache {cache_path}")
     if wavs is None:
-        wavs = _decode_all(filenames, desired_samples)
+        wavs = _decode_all(filenames, desired_samples, sample_rate)
         if cache_dir:
             Path(cache_dir).mkdir(parents=True, exist_ok=True)
-            np.save(cache_path, wavs)
+            # atomic write: a process killed mid-np.save must not leave
+            # a truncated file at the final keyed path (the key match
+            # would trust it on the next run)
+            tmp_path = cache_path.parent / (cache_path.name + ".tmp.npy")
+            np.save(tmp_path, wavs)
+            tmp_path.replace(cache_path)
             log.info(f"Wrote decode cache {cache_path}")
 
     wavs = np.asarray(wavs)
     labels = np.asarray(labels, np.int32)
     is_silent = np.zeros(len(labels), bool)
 
-    # Silence injection (audio_data_wrapper.py:164-174).
+    # Silence injection (audio_data_wrapper.py:164-174). Auto count uses
+    # the LOGICAL (post-oversampling) sample count, like the reference's
+    # num_samples // num_labels after list inflation.
     if add_null_class:
         if num_silent < 0:
-            num_silent = len(filenames) // len(label_names)
+            num_silent = n_logical // len(label_names)
         if num_silent > 0:
             null_idx = label_names.index(const.NULL_CLASS_LABEL)
+            n_physical = wavs.shape[0]
             wavs = np.concatenate(
                 [wavs, np.zeros((num_silent, desired_samples), np.int16)]
             )
@@ -254,9 +312,16 @@ def load_speech_commands(
                 [labels, np.full(num_silent, null_idx, np.int32)]
             )
             is_silent = np.concatenate([is_silent, np.ones(num_silent, bool)])
+            if sample_row is not None:
+                sample_row = np.concatenate([
+                    sample_row,
+                    np.arange(
+                        n_physical, n_physical + num_silent, dtype=np.int32
+                    ),
+                ])
             log.info(f"{num_silent} silent samples added")
 
-    noise_bank = load_noise_bank(split_dir, desired_samples)
+    noise_bank = load_noise_bank(split_dirs, desired_samples, sample_rate)
     log.info(
         f"split={split}: {len(labels)} samples, {len(label_names)} classes"
     )
@@ -267,4 +332,5 @@ def load_speech_commands(
         label_names=label_names,
         noise_bank=noise_bank,
         split=split,
+        sample_row=sample_row,
     )

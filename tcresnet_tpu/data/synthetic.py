@@ -32,7 +32,16 @@ def make_synthetic_dataset(
 
     Class k (except the silence class) is a tone at 220 * 2^(k/6) Hz with
     harmonics; the silence class is near-zero with tiny noise.
+    `silence_class` must be 0 (the `__null__` index the label_names
+    metadata always assigns) or None: any other value would mark rows of
+    a tone class as is_silent while label_names still put `__null__` at
+    index 0, breaking consumers that equate index 0 with silence.
     """
+    if silence_class not in (0, None):
+        raise ValueError(
+            f"silence_class must be 0 or None, got {silence_class} "
+            "(label_names always places __null__ at index 0)"
+        )
     rng = np.random.default_rng(seed)
     labels = rng.integers(0, num_classes, size=num_samples).astype(np.int32)
     t = np.arange(desired_samples, dtype=np.float64) / sample_rate

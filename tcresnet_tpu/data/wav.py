@@ -26,12 +26,16 @@ import numpy as np
 
 
 def decode_wav_int16(
-    path, desired_samples: Optional[int] = None
+    path, desired_samples: Optional[int] = None,
+    expected_rate: Optional[int] = None,
 ) -> Tuple[np.ndarray, int]:
     """Decode a PCM16 WAV file to int16 samples (first channel).
 
     Returns (samples[int16], sample_rate). Crops or zero-pads to
     `desired_samples` when given (decode_wav's desired_samples semantics).
+    `expected_rate` (when given) rejects files whose header rate differs:
+    wrong-rate audio fed to a fixed-rate frontend silently yields wrong
+    time/frequency geometry, so it must fail at decode time.
     """
     with wave.open(str(path), "rb") as w:
         n_channels = w.getnchannels()
@@ -40,6 +44,10 @@ def decode_wav_int16(
         n_frames = w.getnframes()
         if sampwidth != 2:
             raise ValueError(f"{path}: only PCM16 wavs supported, got width {sampwidth}")
+        if expected_rate is not None and rate != expected_rate:
+            raise ValueError(
+                f"{path}: sample rate {rate} != expected {expected_rate}"
+            )
         raw = w.readframes(n_frames)
 
     samples = np.frombuffer(raw, dtype="<i2")
@@ -55,10 +63,11 @@ def decode_wav_int16(
 
 
 def decode_wav_float32(
-    path, desired_samples: Optional[int] = None
+    path, desired_samples: Optional[int] = None,
+    expected_rate: Optional[int] = None,
 ) -> Tuple[np.ndarray, int]:
     """decode_wav parity: float32 in [-1, 1) via /32768."""
-    samples, rate = decode_wav_int16(path, desired_samples)
+    samples, rate = decode_wav_int16(path, desired_samples, expected_rate)
     return samples.astype(np.float32) / 32768.0, rate
 
 

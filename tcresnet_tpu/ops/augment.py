@@ -218,15 +218,18 @@ def augment(
     given the same per-row draws) and the XLA path elsewhere.
 
     `platform` names the platform this call will actually execute on
-    (e.g. the mesh's device platform); it defaults to
-    jax.default_backend() but MUST be passed when jitting over a mesh
-    whose platform differs from the process default — e.g. a CPU mesh in
-    a process where a TPU plugin is registered, where default_backend()
-    would wrongly select Mosaic lowering for CPU devices.
+    (e.g. the mesh's device platform); it defaults to the effective
+    default platform (utils.platform.default_platform, which honors a
+    jax_default_device pin under registered plugins) but MUST be passed
+    when jitting over a mesh whose platform differs from the process
+    default — e.g. a CPU mesh in a process where a TPU plugin is
+    registered.
     """
     backend = getattr(cfg, "backend", "auto")
     if platform is None:
-        platform = jax.default_backend()
+        from tcresnet_tpu.utils.platform import default_platform
+
+        platform = default_platform()
     use_pallas = backend == "pallas" or (backend == "auto" and platform == "tpu")
     if use_pallas:
         from tcresnet_tpu.ops.pallas.augment import fused_augment
@@ -258,7 +261,9 @@ def augment_gathered(
     bit-identical results either way given the same key.
     """
     if platform is None:
-        platform = jax.default_backend()
+        from tcresnet_tpu.utils.platform import default_platform
+
+        platform = default_platform()
     backend = getattr(cfg, "backend", "auto")
     use_pallas = backend == "pallas" or (backend == "auto" and platform == "tpu")
     if use_pallas:
@@ -272,12 +277,11 @@ def augment_gathered(
                 wavs3d, idx, is_silent, key, cfg, noise_bank,
                 is_training, clip_len, mesh=mesh,
             )
-    rows = wavs3d[idx]
-    p = rows.shape[1] * rows.shape[2]
-    wavs = (
-        rows.reshape(idx.shape[0], p)[:, :clip_len].astype(jnp.float32)
-        * (1.0 / 32768.0)
-    )
+    # single home for the [N, P/128, 128] int16 -> float32 decode
+    # contract (lazy import: data layer sits above ops in the module DAG)
+    from tcresnet_tpu.data.device_data import DeviceDataset
+
+    wavs = DeviceDataset.decode_rows(wavs3d, idx, clip_len)
     return augment(
         wavs, is_silent, key, cfg, noise_bank, is_training, platform=platform
     )

@@ -44,18 +44,24 @@ def make_mesh(
             devices = jax.devices()
     devices = list(devices)
     model = max(cfg.model, 1)
-    if len(devices) % model != 0:
-        raise ValueError(
-            f"model axis {model} does not divide device count {len(devices)}"
-        )
-    data = cfg.data if cfg.data > 0 else len(devices) // model
-    if data * model > len(devices):
-        raise ValueError(
-            f"mesh ({data=}, {model=}) needs {data * model} devices, "
-            f"have {len(devices)}"
-        )
-    if data * model != len(devices):
+    if cfg.data > 0:
+        # explicit (data, model): truncate to exactly data*model devices
+        # — divisibility of the FULL device count is irrelevant here
+        # (e.g. data=2, model=3 on 8 devices is a legal 2x3 mesh over 6)
+        data = cfg.data
+        if data * model > len(devices):
+            raise ValueError(
+                f"mesh ({data=}, {model=}) needs {data * model} devices, "
+                f"have {len(devices)}"
+            )
         devices = devices[: data * model]
+    else:
+        if len(devices) % model != 0:
+            raise ValueError(
+                f"model axis {model} does not divide device count "
+                f"{len(devices)}"
+            )
+        data = len(devices) // model
     arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 

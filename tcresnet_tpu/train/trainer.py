@@ -98,7 +98,13 @@ class Trainer:
 
         self.feature_shape = dsp.feature_shape(cfg.audio)
         self.model = build_model(cfg.model, self.feature_shape, cfg.train.compute_dtype)
-        self._steps_per_epoch = max(train_data.num_samples // cfg.train.batch_size, 1)
+        # epoch size counts LOGICAL samples (oversampling duplicates
+        # inflate the epoch, like the reference's duplicated file list)
+        self._steps_per_epoch = max(
+            getattr(train_data, "num_logical_samples", train_data.num_samples)
+            // cfg.train.batch_size,
+            1,
+        )
         # Fuse this many steps per host dispatch (amortizes host latency);
         # summaries are written at call granularity.
         self.steps_per_call = steps_per_call or max(
@@ -355,7 +361,8 @@ class Trainer:
         k_sample, k_aug, k_drop = jax.random.split(step_key, 3)
 
         idx, labels, silent = DeviceDataset.sample_indices(
-            arrays, k_sample, cfg.train.batch_size, self.mesh
+            arrays, k_sample, cfg.train.batch_size, self.mesh,
+            sample_row=getattr(self.data, "sample_row", None),
         )
         feats = self._input_features(arrays, idx, silent, k_aug, noise_bank)
 

@@ -131,10 +131,21 @@ def test_oversampling_reaches_loader(tmp_path):
     train = load_split(cfg, "train")
     # literal reference semantics incl. the n=5 scale quirk
     # (data_wrapper_base.py:219-248): ratio = int(max(need/cnt,1)*5+.5),
-    # so yes 1*25=25 and no 5*5=25 entries
-    assert train.num_samples == 50
+    # so yes 1*25=25 and no 5*5=25 LOGICAL entries. Physical rows stay
+    # unique (6 wavs): duplication lives in the sample_row index map,
+    # so the decode cache and HBM never grow with the ratio.
+    assert train.num_logical_samples == 50
+    assert train.num_samples == 6
+    assert train.sample_row is not None and len(train.sample_row) == 50
+    # every logical entry points at a physical row with the same label
+    labels_of_rows = train.labels[train.sample_row]
+    import collections
+
+    by_label = collections.Counter(labels_of_rows.tolist())
+    # yes (1 file) inflated x25, no (5 files) x5 -> 25 entries each
+    assert sorted(by_label.values()) == [25, 25]
     valid = load_split(cfg, "valid")  # eval splits are never oversampled
-    assert valid.num_samples == 6
+    assert valid.num_samples == 6 and valid.sample_row is None
 
     # ratio 0 means OFF (DataConfig doc) — must not trip oversample()'s
     # max(ratio, 1.0)*5 floor and silently inflate the split x5

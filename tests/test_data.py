@@ -147,3 +147,115 @@ def test_synthetic_classes_distinct():
             assert e < 1e-4
         else:
             assert e > 1e-2
+
+
+def test_wrong_sample_rate_rejected(tmp_path):
+    """expected_rate rejects wrong-rate wavs at decode time: 8 kHz audio
+    fed to a 16 kHz-fixed frontend would otherwise silently produce
+    wrong time/frequency geometry (numpy path AND native path)."""
+    p = tmp_path / "slow.wav"
+    wavlib.write_wav_pcm16(p, np.zeros(1000, np.float32), sample_rate=8000)
+    with pytest.raises(ValueError, match="8000 != expected 16000"):
+        wavlib.decode_wav_int16(p, 1000, expected_rate=16000)
+    # unchecked decode still works and reports the true rate
+    _, rate = wavlib.decode_wav_int16(p, 1000)
+    assert rate == 8000
+
+    from tcresnet_tpu.data import native_loader
+
+    if native_loader.available():
+        with pytest.raises(ValueError, match="rc=-4"):
+            native_loader.decode_batch([str(p)], 1000, expected_rate=16000)
+        assert native_loader.decode_batch([str(p)], 1000) is not None
+
+
+def test_loader_validates_sample_rate(tmp_path):
+    root = tmp_path / "gsc"
+    wavlib.write_wav_pcm16(
+        root / "train" / "yes" / "a.wav", np.zeros(500, np.float32),
+        sample_rate=22050,
+    )
+    with pytest.raises(ValueError):
+        load_speech_commands(
+            str(root), "train", 1000, num_silent=0, sample_rate=16000
+        )
+    # matching rate passes
+    ds = load_speech_commands(
+        str(root), "train", 1000, num_silent=0, sample_rate=22050
+    )
+    assert ds.num_samples == 1
+
+
+def test_noise_bank_from_all_roots(tmp_path):
+    """Sub-dataset support: `_background_noise_` is collected from EVERY
+    root, like the reference's prepare_silent_data loop over
+    dataset_paths (audio_data_wrapper.py:146-162) — including when only
+    a LATER root has a noise dir."""
+    rng = np.random.default_rng(0)
+    sig = rng.uniform(-0.4, 0.4, 3000).astype(np.float32)
+    for root in ("a", "b"):
+        d = tmp_path / root / "train"
+        wavlib.write_wav_pcm16(d / "yes" / "x.wav", sig[:1000])
+    wavlib.write_wav_pcm16(
+        tmp_path / "a" / "train" / const.BACKGROUND_NOISE_DIR_NAME / "n1.wav",
+        sig,
+    )
+    wavlib.write_wav_pcm16(
+        tmp_path / "b" / "train" / const.BACKGROUND_NOISE_DIR_NAME / "n2.wav",
+        sig,
+    )
+    ds = load_speech_commands(
+        [tmp_path / "a", tmp_path / "b"], "train", 1000, num_silent=0
+    )
+    assert ds.noise_bank is not None and ds.noise_bank.shape[0] == 2
+
+    # noise dir ONLY in the second root: must still be found
+    ds_b_only = load_speech_commands(
+        [tmp_path / "b", tmp_path / "a"], "train", 1000, num_silent=0
+    )
+    assert ds_b_only.noise_bank is not None
+
+
+def test_sample_row_distribution():
+    """Oversampling's logical->physical map: sample_indices draws over
+    the logical axis, so duplicated entries are sampled proportionally
+    more often while wav rows stay unique."""
+    host = make_synthetic_dataset(num_samples=8, num_classes=2, desired_samples=256)
+    # row 0 duplicated 9x: ~9/17 of draws should land on it
+    host = type(host)(
+        wavs=host.wavs,
+        labels=host.labels,
+        is_silent=host.is_silent,
+        label_names=host.label_names,
+        noise_bank=host.noise_bank,
+        split=host.split,
+        sample_row=np.array([0] * 9 + list(range(8)), np.int32),
+    )
+    assert host.num_samples == 8 and host.num_logical_samples == 17
+    dd = DeviceDataset(host)
+    assert dd.sample_row is not None
+    idx, labels, silent = DeviceDataset.sample_indices(
+        dd.arrays, jax.random.key(0), 4096, sample_row=dd.sample_row
+    )
+    idx = np.asarray(idx)
+    assert idx.min() >= 0 and idx.max() < 8
+    frac0 = (idx == 0).mean()
+    assert 0.45 < frac0 < 0.61  # expect ~10/17 = 0.588
+    # labels/silence follow the PHYSICAL row
+    np.testing.assert_array_equal(
+        np.asarray(labels), np.asarray(host.labels)[idx]
+    )
+
+
+def test_synthetic_silence_class_guard():
+    with pytest.raises(ValueError, match="silence_class"):
+        make_synthetic_dataset(num_samples=8, silence_class=3)
+
+
+def test_decode_cache_atomic_write(wav_tree, tmp_path):
+    """Cache writes go through a tmp file + rename; no tmp litter on
+    success and the final file loads."""
+    cache = tmp_path / "cache"
+    load_speech_commands(str(wav_tree), "train", cache_dir=str(cache))
+    assert not list(cache.glob("*.tmp.npy"))
+    assert len(list(cache.glob("*.npy"))) == 1

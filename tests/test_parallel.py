@@ -45,6 +45,14 @@ def test_mesh_too_few_devices(cpu_devices):
         make_mesh(MeshConfig(data=16), devices=cpu_devices)
 
 
+def test_mesh_explicit_axes_truncate(cpu_devices):
+    """Explicit (data, model) that doesn't divide the device count is
+    still legal: 2x3 over 8 devices truncates to 6 (the divisibility
+    check only applies when data is derived from the device count)."""
+    mesh = make_mesh(MeshConfig(data=2, model=3), devices=cpu_devices)
+    assert mesh.devices.shape == (2, 3)
+
+
 def test_mesh_honors_string_device_pin():
     """JAX accepts jax_default_device as a platform STRING too; make_mesh
     must not assume a Device object (.platform AttributeError)."""

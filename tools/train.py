@@ -259,6 +259,8 @@ def load_split(cfg, split):
         oversampling_ratio=(
             cfg.data.oversampling_ratio if split == "train" else None
         ),
+        # fail loudly on wrong-rate wavs (feature geometry is rate-fixed)
+        sample_rate=cfg.audio.sample_rate,
     )
 
 
