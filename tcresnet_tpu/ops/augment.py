@@ -171,6 +171,15 @@ def mix_background(
     """
     batch, num_samples = wavs.shape
     num_clips, clip_len = noise_bank.shape
+    if clip_len < num_samples:
+        # tf.random_crop's own requirement: a crop of the wav length must
+        # exist. randint(0, clip_len - num_samples + 1) over the empty
+        # range would silently produce non-random (or OOB) crops, so fail
+        # loudly; load_noise_bank drops short clips at load time.
+        raise ValueError(
+            f"noise clips ({clip_len} samples) shorter than wavs "
+            f"({num_samples}); crops require clip_len >= num_samples"
+        )
     k_idx, k_off, k_gate, k_vol = jax.random.split(key, 4)
 
     foreground = jnp.where(is_silent[:, None], 0.0, wavs)

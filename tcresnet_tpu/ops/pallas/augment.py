@@ -525,6 +525,12 @@ def fused_augment(
         cfg.method == "no_augmentation_audio"
         or noise_bank is None
         or noise_bank.shape[0] == 0
+        # crops need clip_len >= n (same guard as gather_fusable):
+        # randint(0, clip_len - n + 1) over an empty range is
+        # unspecified — current JAX clamps to offset 0 (silently
+        # non-random crops), and anything else would be an
+        # out-of-bounds noise DMA
+        or noise_bank.shape[1] < n
         or n % _LANES != 0
     ):
         from tcresnet_tpu.ops import augment as xla_augment

@@ -34,7 +34,6 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +41,6 @@ import jax.numpy as jnp
 from tcresnet_tpu.config import AudioConfig, AugmentConfig
 from tcresnet_tpu.ops import dsp
 from tcresnet_tpu.ops.pallas.augment import (
-    _ALIGN,
     _LANES,
     _TB,
     _draw_scalars,
@@ -190,7 +188,6 @@ def _kernel(
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
 def _impl(wavs3d, idx, scalars, noise_bank, n, cfg, interpret, quantize_crops,
           variant="hops"):
-    import numpy as np
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

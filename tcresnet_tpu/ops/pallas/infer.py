@@ -155,6 +155,7 @@ def _kernel(
     k_dft: int,
     num_bins: int,
     frames: int,
+    matmul_dtype,
 ):
     """Ref order: hops [TB, n_hops, hop], dft, mel, dct,
     (w, b) per conv in spec order, fc, out [TB, ncls]."""
@@ -168,12 +169,13 @@ def _kernel(
 
     # ---- shared MFCC matmul tail (ops/pallas/mfcc.mfcc_tail) ----
     # result [TB, T=frames, C=num_mfcc]: frequency-as-channels
-    # (tc_resnet.py:17)
+    # (tc_resnet.py:17); matmul_dtype honors cfg.dsp_matmul_dtype so the
+    # fused features match the XLA path (dsp.py) bit-for-policy
     x = mfcc_tail(
         hops_ref[:].reshape(tb * n_hops, hop),
         dft_ref[:], mel_ref[:], dct_ref[:],
         tb=tb, n_hops=n_hops, hop=hop, k=k_dft, num_bins=num_bins,
-        frames=frames,
+        frames=frames, matmul_dtype=matmul_dtype,
     )
 
     # ---- conv stack (tc_resnet.py:28-48, BN folded) ----
@@ -239,6 +241,7 @@ def build_fused_infer(
     num_mfcc = audio_cfg.num_mfccs
     ncls = model_cfg.num_classes
 
+    matmul_dtype = dsp.dsp_matmul_dtype(audio_cfg)
     dft_blocks = dsp.dft_hop_blocks(window, hop, fft_length)
     mel = dsp.linear_to_mel_weight_matrix(
         num_mel, num_bins, audio_cfg.sample_rate,
@@ -271,6 +274,7 @@ def build_fused_infer(
         kernel = functools.partial(
             _kernel, tb=tb_eff, spec_static=spec_static, n_hops=n_hops,
             hop=hop, k_dft=k_dft, num_bins=num_bins, frames=frames,
+            matmul_dtype=matmul_dtype,
         )
 
         out = pl.pallas_call(
@@ -294,7 +298,7 @@ def build_fused_infer(
             interpret=interpret,
         )(
             hops3,
-            jnp.asarray(dft_blocks),
+            jnp.asarray(dft_blocks).astype(matmul_dtype),
             jnp.asarray(mel),
             jnp.asarray(dct),
             *weights,

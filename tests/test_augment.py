@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tcresnet_tpu.config import AugmentConfig
 from tcresnet_tpu.ops import augment
@@ -194,3 +195,33 @@ def test_clipping():
         )
     )
     assert out.max() <= 1.0
+
+
+def test_short_noise_bank_rejected():
+    """Noise clips shorter than the wav length cannot yield a valid crop
+    (tf.random_crop requirement); the empty-range randint would silently
+    produce non-random crops, so mix_background fails loudly — through
+    every entry point (XLA direct, augment_batch, fused_augment's
+    fallback)."""
+    wavs = jnp.ones((4, 300), jnp.float32)
+    silent = jnp.zeros((4,), bool)
+    short = jnp.ones((2, 200), jnp.float32)  # 200 < 300
+    with pytest.raises(ValueError, match="shorter than wavs"):
+        augment.mix_background(
+            wavs, silent, short, jax.random.key(0),
+            background_frequency=0.5, background_max_volume=0.1,
+            is_training=True,
+        )
+    cfg = AugmentConfig(method="anchored_slice_or_pad")
+    with pytest.raises(ValueError, match="shorter than wavs"):
+        augment.augment_batch(wavs, silent, jax.random.key(0), cfg, short, True)
+
+    from tcresnet_tpu.ops.pallas.augment import fused_augment
+
+    # lane-aligned n so only the bank-length guard forces the fallback
+    wavs128 = jnp.ones((4, 256), jnp.float32)
+    with pytest.raises(ValueError, match="shorter than wavs"):
+        fused_augment(
+            wavs128, silent, jax.random.key(0), cfg,
+            jnp.ones((2, 200), jnp.float32), True, interpret=True,
+        )

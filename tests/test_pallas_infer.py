@@ -125,3 +125,22 @@ def test_fused_infer_availability_gates():
         ModelConfig(name="TCResNet8"),
         dataclasses.replace(good_audio, window_size_ms=25.0),
     )
+
+
+def test_fused_infer_honors_dsp_matmul_dtype(rng):
+    """cfg.dsp_matmul_dtype=bfloat16 must apply to the fused kernel's DFT
+    exactly as it does to the XLA path (dsp.preprocess), or the two
+    deployable paths silently diverge beyond the AOT-parity gate."""
+    import dataclasses
+
+    model_cfg, audio_cfg, model, params, stats, wavs = _setup("TCResNet8", rng)
+    bf16_cfg = dataclasses.replace(audio_cfg, dsp_matmul_dtype="bfloat16")
+    infer = build_fused_infer(
+        model_cfg, bf16_cfg, params, stats, tb=4, interpret=True
+    )
+    got = np.asarray(infer(wavs))
+    want = _xla_infer(model, params, stats, bf16_cfg, wavs)
+    # both paths round DFT operands to bf16 (f32 accumulation): residual
+    # difference is accumulation-order only
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
+    assert (got.argmax(-1) == want.argmax(-1)).all()
