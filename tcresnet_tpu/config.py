@@ -2,8 +2,9 @@
 
 Replaces the reference's distributed-argparse flag tree
 (/root/reference/train_audio.py:46-67, each layer's `add_arguments`) with
-typed dataclasses plus the 14 named experiment presets that mirror
-/root/reference/scripts/commands/*.sh (see SURVEY.md section 6.2).
+typed dataclasses plus the 15 named experiment presets that mirror
+/root/reference/scripts/commands/*.sh (see SURVEY.md section 6.2; the
+survey counts 14 but the reference ships 15 scripts).
 """
 
 from __future__ import annotations
@@ -284,10 +285,16 @@ class ExperimentConfig:
 
 
 # ---------------------------------------------------------------------------
-# Named presets: the 14 reproduction configs from scripts/commands/*.sh
+# Named presets: the 15 reproduction configs from scripts/commands/*.sh
 # (SURVEY.md section 6.2). Common flags (scripts/commands/*.sh:3-7):
 # 12 classes, train augment anchored_slice_or_pad_with_shift, eval augment
-# anchored_slice_or_pad with background_frequency 0.0, ckpt+eval every 500.
+# anchored_slice_or_pad with background_frequency 0.0, ckpt+eval every 500,
+# max_to_keep 20. DELIBERATE DEVIATION: the scripts express the training
+# budget as --max_step_from_restore N (a resumed-after-completion run
+# trains N MORE steps); presets use an absolute max_step=N so resume
+# always converges to the paper's total step count — pass
+# --cfg train.max_step_from_restore=N --cfg train.max_step=0 for the
+# literal script behavior.
 # ---------------------------------------------------------------------------
 
 _MFCC_40_3010 = AudioConfig(window_size_ms=30.0, window_stride_ms=10.0, num_mfccs=40)
@@ -310,7 +317,7 @@ def _tc(name: str, wm: float) -> ExperimentConfig:
         audio=_MFCC_40_3010,
         model=ModelConfig(name=name, width_multiplier=wm, weight_decay=1e-3),
         optim=_TC_OPTIM,
-        train=TrainConfig(batch_size=100, max_step=30000),
+        train=TrainConfig(batch_size=100, max_step=30000, max_to_keep=20),
     )
 
 
@@ -319,7 +326,7 @@ def _res(name: str) -> ExperimentConfig:
         audio=_MFCC_40_3010,
         model=ModelConfig(name=name, weight_decay=1e-5),
         optim=_RES_OPTIM,
-        train=TrainConfig(batch_size=64, max_step=9000),
+        train=TrainConfig(batch_size=64, max_step=9000, max_to_keep=20),
     )
 
 
@@ -328,7 +335,7 @@ def _dscnn(name: str) -> ExperimentConfig:
         audio=_MFCC_10_4020,
         model=ModelConfig(name=name, weight_decay=0.0),
         optim=_DSCNN_OPTIM,
-        train=TrainConfig(batch_size=100, max_step=20000),
+        train=TrainConfig(batch_size=100, max_step=20000, max_to_keep=20),
     )
 
 
@@ -350,13 +357,13 @@ PRESETS = {
         audio=_MFCC_40_4020,
         model=ModelConfig(name="KWS", kws_architecture="one_fstride4", weight_decay=0.0),
         optim=_KWS_FSTRIDE4_OPTIM,
-        train=TrainConfig(batch_size=100, max_step=30000),
+        train=TrainConfig(batch_size=100, max_step=30000, max_to_keep=20),
     ),
     "KWSfpool3": ExperimentConfig(
         audio=_MFCC_40_4020,
         model=ModelConfig(name="KWS", kws_architecture="trad_fpool3", weight_decay=0.0),
         optim=_KWS_FPOOL3_OPTIM,
-        train=TrainConfig(batch_size=100, max_step=20000),
+        train=TrainConfig(batch_size=100, max_step=20000, max_to_keep=20),
     ),
 }
 

@@ -4,9 +4,11 @@ Reference parity: helper/base.py:52-143 (run_inference/run_evaluation)
 + helper/evaluator.py:102-133 (evaluate_once), redesigned TPU-first:
 
 - the eval split lives in HBM (DeviceDataset); a jitted step gathers an
-  index batch, runs preprocess+forward in eval mode (background volume 0,
-  silence zeroing — scripts/commands/*.sh:5 semantics) and returns
-  softmax scores;
+  index batch, runs preprocess+forward in eval mode (background volume 0
+  + silence zeroing for naive/v1 mixing — scripts/commands/*.sh:5
+  semantics; with naive_background_mix=False, silence rows are mixed
+  with noise at U[0,1) even at eval, augmentation_factory.py:81-95) and
+  returns softmax scores;
 - every sample is evaluated exactly once via pad+mask final batches
   (deviation from the reference's split-dividing batch sizes,
   SURVEY.md 7.4.7);
@@ -54,15 +56,40 @@ class Evaluator:
         self.use_ema = cfg.optim.use_ema if use_ema is None else use_ema
         self._eval_fn = jax.jit(self._eval_step)
 
-    def _eval_step(self, params, batch_stats, arrays, idx):
+    def _eval_step(self, params, batch_stats, arrays, idx, key):
         # arrays are jit ARGUMENTS (closing over them would bake GB-scale
         # HBM datasets into the compiled HLO as constants)
         wavs, labels, silent = DeviceDataset.gather_batch(
             arrays, idx, self.mesh, clip_len=self.cfg.audio.desired_samples
         )
-        # Eval-mode augmentation: silence rows zeroed, no shift, no noise
-        # (eval scripts pass background_frequency 0.0).
-        wavs = jnp.where(silent[:, None], 0.0, wavs)
+        if (
+            getattr(self.cfg.augment, "naive_background_mix", True)
+            or self.data.noise_bank is None
+        ):
+            # naive/v1 eval-mode augmentation: every volume is 0 at eval,
+            # so background mixing reduces to silence-row zeroing
+            # (eval scripts pass background_frequency 0.0).
+            wavs = jnp.where(silent[:, None], 0.0, wavs)
+        else:
+            # v2 (augmentation_factory.py:81-95): SILENCE rows are mixed
+            # with background noise at volume U[0,1) even at eval, so the
+            # silence class is scored on the distribution it was trained
+            # on. Same eval flags as the reference scripts: no shift,
+            # background_frequency/max_volume 0.0 for non-silence rows.
+            import dataclasses
+
+            from tcresnet_tpu.ops import augment as auglib
+
+            eval_aug = dataclasses.replace(
+                self.cfg.augment,
+                method="anchored_slice_or_pad",
+                background_frequency=0.0,
+                background_max_volume=0.0,
+            )
+            wavs = auglib.augment_batch(
+                wavs, silent, key, eval_aug, self.data.noise_bank,
+                is_training=False,
+            )
         feats = dsp.preprocess(wavs, self.cfg.audio, mesh=self.mesh)
         logits = self.model.apply(
             {"params": params, "batch_stats": batch_stats}, feats, training=False
@@ -98,16 +125,26 @@ class Evaluator:
         all_scores, all_labels, all_losses = [], [], []
         infer_times = []
         arrays = self.data.arrays
-        for idx, mask in self.data.eval_index_batches(batch):
+        # deterministic per-batch keys: repeated evals of the same state
+        # score identically (matters for BestKeeper promotions); only the
+        # v2 silence-noise path consumes them
+        key_base = jax.random.key(self.cfg.train.seed)
+        for ordinal, (idx, mask) in enumerate(
+            self.data.eval_index_batches(batch)
+        ):
             t0 = time.perf_counter()
             scores, labels, losses = self._eval_fn(
-                params, batch_stats, arrays, jnp.asarray(idx)
+                params, batch_stats, arrays, jnp.asarray(idx),
+                jax.random.fold_in(key_base, ordinal),
             )
-            scores = np.asarray(jax.block_until_ready(scores))
+            # ONE device->host fetch for all three arrays: through a
+            # tunneled device each np.asarray is a full round trip, and
+            # three of them would dominate small-batch eval loops
+            scores, labels, losses = jax.device_get((scores, labels, losses))
             infer_times.append(time.perf_counter() - t0)
             all_scores.append(scores[mask])
-            all_labels.append(np.asarray(labels)[mask])
-            all_losses.append(np.asarray(losses)[mask])
+            all_labels.append(labels[mask])
+            all_losses.append(losses[mask])
 
         scores = np.concatenate(all_scores)
         labels = np.concatenate(all_labels)

@@ -107,14 +107,15 @@ class WatchingEvaluator:
                 training=True,
             )
             # tx must see params so masked (trainable_scopes) opt states
-            # match. steps_per_epoch=1: the template only supplies the
-            # opt-state STRUCTURE, which schedule boundary values never
-            # affect (unit-LR optimizer, optim.py:74-135) — without it,
-            # boundaries_epoch=True configs couldn't build a template at
-            # all (the watcher has the eval split, not the train split
+            # match. num_samples=batch_size=1: the template only supplies
+            # the opt-state STRUCTURE, which schedule boundary values
+            # never affect (unit-LR optimizer, optim.py:74-135) — without
+            # it, boundaries_epoch=True configs couldn't build a template
+            # at all (the watcher has the eval split, not the train split
             # the real boundary resolution needs).
             tx, _ = build_optimizer(
-                self.cfg.optim, steps_per_epoch=1, params=variables["params"]
+                self.cfg.optim, num_samples=1, batch_size=1,
+                params=variables["params"],
             )
             return create_train_state(
                 self.evaluator.model,

@@ -101,7 +101,10 @@ class CheckpointManager:
 
 
 def _path_matches(path_str: str, scopes: Sequence[str]) -> bool:
-    return any(re.search(s, path_str) for s in scopes)
+    # PREFIX-ANCHORED (re.match), matching the reference's
+    # var.op.name.startswith(prefix) scope filters
+    # (common/model_loader.py:55-56): "fc" must not match "block3/fc_proj".
+    return any(re.match(s, path_str) for s in scopes)
 
 
 def restore_params_partial(
@@ -114,8 +117,9 @@ def restore_params_partial(
     """Merge `restored_params` into `params` with scope filters.
 
     Equivalent capability to Ckpt's include/exclude scope restore
-    (common/model_loader.py:42-83). Scopes are regexes matched against
-    the '/'-joined param path.
+    (common/model_loader.py:42-83). Scopes are prefix-anchored regexes
+    matched against the '/'-joined param path (reference startswith
+    semantics).
     """
     flat_new = dict(jax.tree_util.tree_flatten_with_path(params)[0])
     flat_old = dict(jax.tree_util.tree_flatten_with_path(restored_params)[0])

@@ -41,17 +41,26 @@ def piecewise_constant(
 
 def resolve_boundaries(
     cfg: OptimConfig,
-    steps_per_epoch: Optional[int] = None,
+    num_samples: Optional[int] = None,
+    batch_size: Optional[int] = None,
     restore_step: int = 0,
     relative: bool = False,
 ) -> tuple:
     """Boundary resolution incl. epoch units and relative shift
-    (helper/trainer.py:120-133)."""
+    (helper/trainer.py:120-133).
+
+    Epoch-unit boundaries are (b * num_samples) // batch_size, the
+    reference's exact integer math (trainer.py:121) — NOT
+    b * (num_samples // batch_size), which drops b * (N % B) // B steps
+    and would shift LR changes earlier on long runs.
+    """
     boundaries = list(cfg.boundaries)
     if cfg.boundaries_epoch:
-        if not steps_per_epoch:
-            raise ValueError("boundaries_epoch requires steps_per_epoch")
-        boundaries = [b * steps_per_epoch for b in boundaries]
+        if not num_samples or not batch_size:
+            raise ValueError(
+                "boundaries_epoch requires num_samples and batch_size"
+            )
+        boundaries = [(b * num_samples) // batch_size for b in boundaries]
     if relative:
         boundaries = [restore_step + b for b in boundaries]
     return tuple(boundaries)
@@ -59,21 +68,28 @@ def resolve_boundaries(
 
 def trainable_mask(params, scopes: Sequence[str]):
     """Pytree of bools: True where the param path matches any scope regex
-    (get_variables_to_train parity, common/tf_utils.py:19-37)."""
+    (get_variables_to_train parity, common/tf_utils.py:19-37).
+
+    Matching is PREFIX-ANCHORED (re.match), like the reference's
+    tf.get_collection(scope) / var.op.name.startswith: a scope "fc" means
+    paths starting with fc, not any path merely containing it — an
+    unanchored search would silently unfreeze e.g. "block3/fc_proj".
+    """
     import re
 
     import jax
 
     def match(path):
         p = "/".join(str(getattr(k, "key", k)) for k in path)
-        return any(re.search(s, p) for s in scopes)
+        return any(re.match(s, p) for s in scopes)
 
     return jax.tree_util.tree_map_with_path(lambda path, _: match(path), params)
 
 
 def build_optimizer(
     cfg: OptimConfig,
-    steps_per_epoch: Optional[int] = None,
+    num_samples: Optional[int] = None,
+    batch_size: Optional[int] = None,
     restore_step: int = 0,
     relative: bool = False,
     params=None,
@@ -92,7 +108,9 @@ def build_optimizer(
     When cfg.trainable_scopes is non-empty, updates for non-matching
     params are zeroed (requires `params` for the mask structure).
     """
-    boundaries = resolve_boundaries(cfg, steps_per_epoch, restore_step, relative)
+    boundaries = resolve_boundaries(
+        cfg, num_samples, batch_size, restore_step, relative
+    )
     schedule = piecewise_constant(boundaries, cfg.lr_list)
 
     if cfg.optimizer == "gd":

@@ -28,13 +28,22 @@ class TrainState(flax.struct.PyTreeNode):
 
 
 def create_train_state(model, tx, rng, sample_input, use_ema: bool = False) -> TrainState:
-    """Initialize params/batch-stats/optimizer from a sample feature batch."""
+    """Initialize params/batch-stats/optimizer from a sample feature batch.
+
+    `tx` is an optax GradientTransformation, OR a callable
+    `params -> transformation` for optimizers that need the params to
+    build (trainable_scopes masking) — this is the ONE init
+    implementation; Trainer and the watcher's restore template both call
+    it, so their state structures can never drift.
+    """
     params_rng, dropout_rng = jax.random.split(rng)
     variables = model.init(
         {"params": params_rng, "dropout": dropout_rng}, sample_input, training=True
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    if callable(tx) and not hasattr(tx, "init"):
+        tx = tx(params)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,

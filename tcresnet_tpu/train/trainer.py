@@ -50,7 +50,7 @@ from tcresnet_tpu.parallel import mesh as meshlib
 from tcresnet_tpu.train import loss as losslib
 from tcresnet_tpu.train import optim as optimlib
 from tcresnet_tpu.train.checkpoint import CheckpointManager
-from tcresnet_tpu.train.state import TrainState
+from tcresnet_tpu.train.state import TrainState, create_train_state
 from tcresnet_tpu.utils import get_logger
 
 
@@ -100,10 +100,11 @@ class Trainer:
         self.model = build_model(cfg.model, self.feature_shape, cfg.train.compute_dtype)
         # epoch size counts LOGICAL samples (oversampling duplicates
         # inflate the epoch, like the reference's duplicated file list)
+        self._num_samples = getattr(
+            train_data, "num_logical_samples", train_data.num_samples
+        )
         self._steps_per_epoch = max(
-            getattr(train_data, "num_logical_samples", train_data.num_samples)
-            // cfg.train.batch_size,
-            1,
+            self._num_samples // cfg.train.batch_size, 1
         )
         # Fuse this many steps per host dispatch (amortizes host latency);
         # summaries are written at call granularity.
@@ -148,25 +149,25 @@ class Trainer:
         return self._init_state_impl()
 
     def _init_state_impl(self) -> TrainState:
-        rng = jax.random.key(self.cfg.train.seed)
+        # single init implementation shared with watcher/export template
+        # builds (state.create_train_state); the tx factory exists because
+        # the optimizer needs params when trainable_scopes masks updates
+        def tx_factory(params):
+            self.tx, self.lr_schedule = optimlib.build_optimizer(
+                self.cfg.optim,
+                num_samples=self._num_samples,
+                batch_size=self.cfg.train.batch_size,
+                params=params,
+            )
+            return self.tx
+
         sample = jnp.zeros((2,) + self.feature_shape, jnp.float32)
-        params_rng, dropout_rng = jax.random.split(rng)
-        variables = self.model.init(
-            {"params": params_rng, "dropout": dropout_rng}, sample, training=True
-        )
-        params = variables["params"]
-        # optimizer needs params when trainable_scopes masks updates
-        self.tx, self.lr_schedule = optimlib.build_optimizer(
-            self.cfg.optim, steps_per_epoch=self._steps_per_epoch, params=params
-        )
-        state = TrainState(
-            step=jnp.zeros((), jnp.int32),
-            params=params,
-            batch_stats=variables.get("batch_stats", {}),
-            opt_state=self.tx.init(params),
-            ema_params=jax.tree_util.tree_map(jnp.copy, params)
-            if self.cfg.optim.use_ema
-            else None,
+        state = create_train_state(
+            self.model,
+            tx_factory,
+            jax.random.key(self.cfg.train.seed),
+            sample,
+            use_ema=self.cfg.optim.use_ema,
         )
         if self.mesh is not None:
             repl = meshlib.replicated_sharding(self.mesh)
@@ -191,7 +192,8 @@ class Trainer:
             return
         boundaries = optimlib.resolve_boundaries(
             self.cfg.optim,
-            steps_per_epoch=self._steps_per_epoch,
+            num_samples=self._num_samples,
+            batch_size=self.cfg.train.batch_size,
             restore_step=restore_step,
             relative=True,
         )
@@ -414,6 +416,11 @@ class Trainer:
     def train(self, max_step: Optional[int] = None) -> TrainState:
         cfg = self.cfg.train
         max_step = max_step or cfg.max_step
+        if max_step <= 0:
+            # max_step=0 disables the absolute cap (the reference scripts
+            # bound runs ONLY with --max_step_from_restore); some other
+            # budget below must then bound the run.
+            max_step = 1 << 62
         if cfg.max_epoch > 0:
             # epoch-based stop (reference helper/trainer.py:419-425):
             # one epoch = num_samples // batch_size steps
@@ -428,6 +435,11 @@ class Trainer:
             max_step = min(
                 max_step,
                 start + cfg.max_epoch_from_restore * self._steps_per_epoch,
+            )
+        if max_step >= (1 << 62):
+            raise ValueError(
+                "training budget is unbounded: with train.max_step=0, set "
+                "max_epoch, max_step_from_restore, or max_epoch_from_restore"
             )
         done_file = self.ckpt.directory / "TRAIN_DONE"
         if start >= max_step:

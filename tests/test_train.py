@@ -399,3 +399,70 @@ def test_eval_metric_gating_and_exclusion(tiny_data):
     gated = Evaluator(cfg2, dd).evaluate(state)
     assert not any(k.startswith("class/") or "f1" in k for k in gated)
     assert "top5_accuracy" not in gated and "accuracy" in gated
+
+
+def test_epoch_boundaries_reference_math():
+    """Epoch-unit LR boundaries use (b * N) // B — the reference's exact
+    integer math (helper/trainer.py:121) — not b * (N // B)."""
+    import dataclasses as dc
+
+    from tcresnet_tpu.config import OptimConfig
+    from tcresnet_tpu.train.optim import resolve_boundaries
+
+    cfg = OptimConfig(boundaries=(30,), boundaries_epoch=True,
+                      lr_list=(0.1, 0.01))
+    got = resolve_boundaries(cfg, num_samples=22250, batch_size=64)
+    assert got == ((30 * 22250) // 64,) == (10429,)  # not 30*(22250//64)=10410
+    # step units unaffected
+    cfg2 = dc.replace(cfg, boundaries_epoch=False)
+    assert resolve_boundaries(cfg2) == (30,)
+
+
+def test_train_budget_unbounded_guard(tmp_path):
+    """max_step=0 disables the absolute cap (reference scripts bound runs
+    only with --max_step_from_restore); an entirely unbounded budget is
+    refused, and a from-restore budget alone bounds the run."""
+    import dataclasses as dc
+
+    host = make_synthetic_dataset(num_samples=64, num_classes=4, desired_samples=4000)
+    cfg = tiny_config(tmp_path / "r", max_step=5)
+    cfg = cfg.replace(train=dc.replace(cfg.train, max_step=0))
+    tr = Trainer(cfg, DeviceDataset(host), workdir=tmp_path / "r")
+    with pytest.raises(ValueError, match="unbounded"):
+        tr.train()
+    cfg2 = cfg.replace(
+        train=dc.replace(cfg.train, max_step=0, max_step_from_restore=3)
+    )
+    tr2 = Trainer(cfg2, DeviceDataset(host), workdir=tmp_path / "r2")
+    state = tr2.train()
+    assert int(state.step) == 3
+
+
+def test_eval_v2_silence_rows_get_noise(tmp_path, tiny_data):
+    """With naive_background_mix=False (v2), the evaluator must mix
+    background noise into SILENCE rows at volume U[0,1) even at eval
+    (reference augmentation_factory.py:81-95) instead of zeroing them —
+    and repeated evals of the same state must be identical (deterministic
+    per-batch keys, BestKeeper depends on it)."""
+    import dataclasses as dc
+
+    cfg = tiny_config(tmp_path / "run", max_step=1)
+    state = Trainer(
+        cfg, DeviceDataset(tiny_data), workdir=tmp_path / "run"
+    ).train()
+    cfg_v2 = cfg.replace(
+        augment=dc.replace(cfg.augment, naive_background_mix=False)
+    )
+    dd = DeviceDataset(tiny_data)
+    assert dd.noise_bank is not None
+    ev_v1 = Evaluator(cfg, dd)
+    ev_v2 = Evaluator(cfg_v2, dd)
+    m_v1 = ev_v1.evaluate(state, include_report=False)
+    m_v2a = ev_v2.evaluate(state, include_report=False)
+    m_v2b = ev_v2.evaluate(state, include_report=False)
+    # deterministic across calls
+    assert m_v2a["loss"] == m_v2b["loss"]
+    assert m_v2a["accuracy"] == m_v2b["accuracy"]
+    # silence rows see noise instead of zeros -> the eval distribution
+    # (and therefore the loss) must differ from v1's zeroed silence
+    assert m_v2a["loss"] != m_v1["loss"]

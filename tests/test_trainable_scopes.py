@@ -67,3 +67,15 @@ def test_multi_root_dataset(tmp_path):
 
     with pytest.raises(ValueError, match="Different labels"):
         load_speech_commands([tmp_path / "a", tmp_path / "b"], "train", 1000, 0)
+
+
+def test_trainable_mask_is_prefix_anchored():
+    """Reference scope matching is startswith (tf.get_collection scope /
+    model_loader startswith): 'fc' must not match 'block3/fc_proj'."""
+    params = {
+        "fc": {"kernel": np.zeros(2)},
+        "block3": {"fc_proj": {"kernel": np.zeros(2)}},
+    }
+    mask = trainable_mask(params, ["fc"])
+    assert mask["fc"]["kernel"] is True
+    assert mask["block3"]["fc_proj"]["kernel"] is False

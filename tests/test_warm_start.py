@@ -150,3 +150,23 @@ def test_cross_width_warm_start_all_fresh(tmp_path):
     # without ignore_missing the shape mismatch must raise
     with pytest.raises(ValueError):
         tr_dst.warm_start(tmp_path / "src" / "ckpt")
+
+
+def test_partial_restore_scopes_prefix_anchored():
+    """Scope filters are prefix-anchored (reference startswith,
+    model_loader.py:55-56): 'fc' must not touch 'block3/fc_proj'."""
+    params = {
+        "fc": {"kernel": jnp.zeros((2,))},
+        "block3": {"fc_proj": {"kernel": jnp.zeros((3,))}},
+    }
+    restored = {
+        "fc": {"kernel": jnp.ones((2,))},
+        "block3": {"fc_proj": {"kernel": jnp.ones((3,))}},
+    }
+    out = restore_params_partial(params, restored, include_scopes=["fc"])
+    assert np.asarray(out["fc"]["kernel"]).sum() == 2
+    assert np.asarray(out["block3"]["fc_proj"]["kernel"]).sum() == 0
+
+    out = restore_params_partial(params, restored, exclude_scopes=["fc"])
+    assert np.asarray(out["fc"]["kernel"]).sum() == 0
+    assert np.asarray(out["block3"]["fc_proj"]["kernel"]).sum() == 3
