@@ -64,6 +64,11 @@ class Trainer:
         steps_per_call: Optional[int] = None,
     ):
         self.cfg = cfg
+        # pristine config for persistence: backend resolutions below are
+        # PLATFORM-SPECIFIC (this process's device + batch) and must not
+        # be baked into the run's config.json, which other processes
+        # (loop evaluator on CPU, export) load as their base
+        cfg_as_given = cfg
         self.data = train_data
         self.mesh = mesh
         # Platform the train step will execute on: the mesh's, else the
@@ -95,6 +100,11 @@ class Trainer:
         self.log = get_logger("trainer")
         self.workdir = Path(workdir or cfg.train.train_dir)
         self.workdir.mkdir(parents=True, exist_ok=True)
+        # persist the config as given (presets + all overrides applied,
+        # platform-specific auto-resolutions NOT baked in): evaluate and
+        # export read it back (tools/train.load_run_config) so a run is
+        # never rebuilt from the bare preset it started from
+        (self.workdir / "config.json").write_text(cfg_as_given.to_json())
 
         self.feature_shape = dsp.feature_shape(cfg.audio)
         self.model = build_model(cfg.model, self.feature_shape, cfg.train.compute_dtype)

@@ -156,3 +156,49 @@ def test_oversampling_reaches_loader(tmp_path):
         "--cfg", "data.oversampling_ratio=0",
     ])
     assert load_split(build_config(args0), "train").num_samples == 6
+
+
+def test_run_config_persisted_and_reloaded(tmp_path):
+    """The trainer persists the EFFECTIVE config (config.json); evaluate
+    rebuilds from it, so a run trained with --cfg overrides (e.g. width)
+    is never silently rebuilt from the bare preset — which would fail at
+    restore or, worse, score the wrong model."""
+    from tools.train import load_run_config
+
+    run = str(tmp_path / "run")
+    train_main([
+        "--preset", "TCResNet8-1.0", "--synthetic", "--synthetic-samples", "96",
+        "--max-step", "4", "--batch-size", "16", "--train-dir", run,
+        "--eval-split", "",
+        "--cfg", "model.width_multiplier=1.5",
+        "--cfg", "model.bn_momentum=0.9",
+    ])
+    saved = load_run_config(run)
+    assert saved is not None
+    assert saved.model.width_multiplier == 1.5
+    assert saved.model.bn_momentum == 0.9
+    assert saved.data.use_synthetic and saved.data.synthetic_num_samples == 96
+    # evaluate WITHOUT re-stating the overrides: must pick up the saved
+    # config (a bare-preset rebuild would die on a param-shape mismatch)
+    evaluate_main([
+        "--preset", "TCResNet8-1.0", "--train-dir", run,
+        "--split", "valid", "--valid-type", "once", "--device", "cpu",
+    ])
+    # missing config.json -> None (preset fallback path)
+    assert load_run_config(str(tmp_path / "nope")) is None
+
+
+def test_run_experiment_forwards_cfg(tmp_path):
+    """--cfg overrides reach every child process of the orchestrator."""
+    from tools.run_experiment import build_commands, parse_args as rx_parse
+
+    args = rx_parse([
+        "--preset", "TCResNet8-1.0", "--synthetic",
+        "--train-dir", str(tmp_path / "x"),
+        "--cfg", "optim.use_ema=true",
+        "--cfg", "train.class_sampling_factor=3",
+    ])
+    for cmd in build_commands(args, str(tmp_path / "x")):
+        joined = " ".join(cmd)
+        assert "--cfg optim.use_ema=true" in joined
+        assert "--cfg train.class_sampling_factor=3" in joined

@@ -21,7 +21,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from tools.train import build_config, load_split  # noqa: E402
+from tools.train import build_config, load_run_config, load_split  # noqa: E402
 
 
 def parse_args(argv=None):
@@ -57,6 +57,11 @@ def parse_args(argv=None):
     p.add_argument("--device", choices=["auto", "cpu"], default="auto",
                    help="cpu: pin to host CPU devices (loop evaluator "
                         "alongside a training process on one chip)")
+    p.add_argument("--cfg", action="append", default=[],
+                   metavar="SECTION.FIELD=VALUE",
+                   help="generic config override (same syntax as "
+                        "tools/train.py), applied on top of the run's "
+                        "saved config.json / the preset")
     return p.parse_args(argv)
 
 
@@ -65,7 +70,11 @@ def main(argv=None):
 
     enable_persistent_cache()
     args = parse_args(argv)
-    cfg = build_config(args)
+    # Base the eval config on the RUN's saved config when available
+    # (model/width/dtype/features must match the checkpoints being
+    # scored); flags and --cfg overrides still apply on top.
+    base = load_run_config(args.train_dir)
+    cfg = build_config(args, base=base)
     if args.batch_size:
         # the evaluator reads data.eval_batch_size, not train.batch_size
         # (which build_config's shared mapping sets)
@@ -82,6 +91,8 @@ def main(argv=None):
     from tools.train import select_devices
 
     log = get_logger("eval_cli")
+    if base is not None:
+        log.info(f"Config base: {args.train_dir}/config.json (run config)")
     mesh = make_mesh(cfg.mesh, devices=select_devices(args.device))
     host = load_split(cfg, args.split)
     watcher = WatchingEvaluator(

@@ -75,7 +75,15 @@ def main(argv=None):
     import jax
 
     log = get_logger("export_cli")
-    cfg = get_preset(args.preset)
+    from tools.train import load_run_config
+
+    # export must rebuild the EXACT trained model: prefer the run's own
+    # saved config over the preset named on the command line
+    cfg = load_run_config(args.train_dir)
+    if cfg is not None:
+        log.info(f"Config base: {args.train_dir}/config.json (run config)")
+    else:
+        cfg = get_preset(args.preset)
 
     ckpt_dir = Path(args.train_dir) / "ckpt"
     if args.best_metric:

@@ -76,6 +76,10 @@ def parse_args(argv=None):
     p.add_argument("--eval-poll-timeout", type=float, default=600.0,
                    help="loop evaluator exits after this many idle seconds "
                         "without a new checkpoint (crash safety net)")
+    p.add_argument("--cfg", action="append", default=[],
+                   metavar="SECTION.FIELD=VALUE",
+                   help="generic config override, forwarded to the "
+                        "trainer and both evaluator processes")
     return p.parse_args(argv)
 
 
@@ -106,6 +110,8 @@ def build_commands(args, train_dir):
         args, "preset", "dataset-root", "cache-dir", "synthetic",
         "synthetic-samples", "compute-dtype", "clip-duration-ms",
     )
+    for item in getattr(args, "cfg", []) or []:
+        common += ["--cfg", item]
     train_cmd = (
         [sys.executable, str(_TOOLS / "train.py")]
         + common

@@ -186,10 +186,23 @@ def select_devices(device: str):
     return None  # make_mesh default: all devices
 
 
-def build_config(args):
+def load_run_config(train_dir):
+    """The config a run was actually trained with (<train_dir>/config.json,
+    written by Trainer), or None. Evaluate/export use it as their config
+    base so a run trained with --cfg overrides (width, dtype, features)
+    is never silently rebuilt from the bare preset."""
+    from tcresnet_tpu.config import ExperimentConfig
+
+    p = Path(train_dir) / "config.json" if train_dir else None
+    if p and p.is_file():
+        return ExperimentConfig.from_json(p.read_text())
+    return None
+
+
+def build_config(args, base=None):
     from tcresnet_tpu.config import get_preset
 
-    cfg = get_preset(args.preset)
+    cfg = base if base is not None else get_preset(args.preset)
     train_kw = {}
     for field, attr in [
         ("max_step", "max_step"), ("batch_size", "batch_size"), ("seed", "seed"),
