@@ -144,3 +144,17 @@ def test_fused_infer_honors_dsp_matmul_dtype(rng):
     # difference is accumulation-order only
     np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
     assert (got.argmax(-1) == want.argmax(-1)).all()
+
+
+def test_fused_infer_odd_num_classes(rng):
+    """Non-lane-aligned class counts must stay exact (fc output padding)."""
+    model_cfg, audio_cfg, model, params, stats, wavs = _setup(
+        "TCResNet8", rng, ncls=7
+    )
+    infer = build_fused_infer(
+        model_cfg, audio_cfg, params, stats, tb=4, interpret=True
+    )
+    got = np.asarray(infer(wavs))
+    want = _xla_infer(model, params, stats, audio_cfg, wavs)
+    assert got.shape == want.shape == (5, 7)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-4)

@@ -150,3 +150,25 @@ def test_family_parity_real_geometry(preset):
         train=dataclasses.replace(cfg.train, compute_dtype="float32")
     )
     _assert_parity(cfg, batch=2)
+
+
+@pytest.mark.parametrize(
+    "preset,wm,ncls",
+    [
+        ("TCResNet2D8-1.0", 1.5, 12),
+        ("TCResNet2D8-1.0", 0.5, 7),   # odd, non-lane-aligned class count
+        ("DSCNNS", 1.0, 5),
+        ("Res8Narrow", 1.0, 9),
+    ],
+)
+def test_parity_nondefault_width_and_classes(preset, wm, ncls):
+    """The op-list builder must stay exact at non-default widths and at
+    class counts that don't align to lanes — fixed-geometry tests alone
+    would hide width-dependent padding/tiling bugs."""
+    cfg = _small_cfg(preset)
+    cfg = cfg.replace(
+        model=dataclasses.replace(
+            cfg.model, width_multiplier=wm, num_classes=ncls
+        )
+    )
+    _assert_parity(cfg, batch=2)
