@@ -42,12 +42,14 @@ def build_inference_fn(
     backend:
       "xla"   — preprocess + model.apply under jit (default; defines the
                 BASELINE.md <=1e-5 AOT-parity gate vs the training graph).
-      "fused" — the whole-model single-kernel path (ops/pallas/infer.py):
+      "fused" — the whole-model single-kernel path (ops/pallas/infer.py
+                for the temporal TC-ResNets, ops/pallas/infer2d.py for
+                the 2D/Res/DS-CNN/KWS families — ALL 15 presets):
                 wav->logits in ONE Pallas call, BN folded, weights
-                VMEM-resident. TC-ResNet temporal family only, requires
-                include_preprocess; ~50-65x lower batch-1 device latency,
-                and closer to the highest-precision reference than the
-                XLA path's default-precision convs (docs/BENCH_RESULTS.md).
+                VMEM-resident. Requires include_preprocess; ~50-65x
+                lower batch-1 device latency, and closer to the
+                highest-precision reference than the XLA path's
+                default-precision convs (docs/BENCH_RESULTS.md).
       "auto"  — on TPU with a supported model, pick per traced batch
                 size: fused at <=32 (latency-optimal), XLA above (the
                 fused kernel's per-sample conv chain doesn't batch its

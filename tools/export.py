@@ -41,7 +41,9 @@ def parse_args(argv=None):
                         "(e.g. accuracy) instead of the latest")
     p.add_argument("--fused-kernel", action="store_true",
                    help="serve via the whole-model single-kernel path "
-                        "(ops/pallas/infer.py; TC-ResNet + MFCC only)")
+                        "(ops/pallas/infer.py temporal TC-ResNets, "
+                        "ops/pallas/infer2d.py 2D/Res/DS-CNN/KWS — all "
+                        "15 presets; requires MFCC preprocessing)")
     return p.parse_args(argv)
 
 
