@@ -217,6 +217,9 @@ class DataConfig:
     dataset_root: str = ""
     cache_dir: str = ""
     eval_batch_size: int = 512
+    # Prepend the `__null__` silence class at index 0 (reference
+    # --no-add_null_class to disable, data_wrapper_base.py:259-262).
+    add_null_class: bool = True
     # Label-balancing oversampling of the TRAIN split: every label is
     # inflated to at least `ratio * max_label_count` samples (reference
     # --oversampling_ratio, data_wrapper_base.py:219-288). None/0 = off.

@@ -51,16 +51,20 @@ class MetricWriter:
         if self._tb is not None:
             self._tb.add_text(tag, text, int(step))
 
-    def write_audio(self, step: int, tag: str, wavs, sample_rate: int = 16000) -> None:
+    def write_audio(
+        self, step: int, tag: str, wavs, sample_rate: int = 16000,
+        max_clips: int = 5,
+    ) -> None:
         """Audio summaries of input wavs (reference WavSummaryOp,
-        metrics/ops/tensor_ops.py:40-54); TensorBoard-only, max 4 clips."""
+        metrics/ops/tensor_ops.py:40-54); TensorBoard-only, capped at
+        max_clips (reference --max_outputs default 5, trainer.py:498)."""
         if self._tb is None or not getattr(self, "_audio_ok", True):
             return
         import numpy as np
 
         wavs = np.asarray(wavs)
         try:
-            for i, wav in enumerate(wavs[:4]):
+            for i, wav in enumerate(wavs[:max_clips]):
                 self._tb.add_audio(
                     f"{tag}/{i}", wav.reshape(-1, 1), int(step),
                     sample_rate=sample_rate,

@@ -202,3 +202,23 @@ def test_run_experiment_forwards_cfg(tmp_path):
         joined = " ".join(cmd)
         assert "--cfg optim.use_ema=true" in joined
         assert "--cfg train.class_sampling_factor=3" in joined
+
+
+def test_add_null_class_reachable(tmp_path):
+    """--cfg data.add_null_class=false drops the __null__ class entirely
+    (reference --no-add_null_class, data_wrapper_base.py:259-262)."""
+    from tcresnet_tpu.data import wav as wavlib
+    from tools.train import load_split
+
+    root = tmp_path / "gsc"
+    sig = (np.arange(1000) % 50 / 50.0 - 0.5).astype(np.float32)
+    for lbl in ("yes", "no"):
+        wavlib.write_wav_pcm16(root / "train" / lbl / "a.wav", sig)
+    args = parse_args([
+        "--preset", "TCResNet8-1.0", "--dataset-root", str(root),
+        "--cfg", "model.num_classes=2",
+        "--cfg", "data.add_null_class=false",
+    ])
+    ds = load_split(build_config(args), "train")
+    assert ds.label_names == ("no", "yes")  # no __null__ at index 0
+    assert ds.num_samples == 2 and not ds.is_silent.any()

@@ -274,6 +274,7 @@ def load_split(cfg, split):
         ),
         # fail loudly on wrong-rate wavs (feature geometry is rate-fixed)
         sample_rate=cfg.audio.sample_rate,
+        add_null_class=cfg.data.add_null_class,
     )
 
 
