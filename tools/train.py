@@ -256,6 +256,7 @@ def load_split(cfg, split):
             num_samples=n,
             num_classes=cfg.model.num_classes,
             desired_samples=cfg.audio.desired_samples,
+            sample_rate=cfg.audio.sample_rate,
             seed=0 if split == "train" else 1,
             split=split,
         )
