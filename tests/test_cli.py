@@ -222,3 +222,27 @@ def test_add_null_class_reachable(tmp_path):
     ds = load_split(build_config(args), "train")
     assert ds.label_names == ("no", "yes")  # no __null__ at index 0
     assert ds.num_samples == 2 and not ds.is_silent.any()
+
+
+def test_config_json_roundtrip_exact():
+    """config.json is load-bearing (evaluate/export rebuild from it):
+    to_json -> from_json must reproduce the EXACT config, including
+    overridden fields, tuples, None-able fields, and every section."""
+    import dataclasses as dc
+
+    from tcresnet_tpu.config import ExperimentConfig, get_preset
+
+    for preset in ("TCResNet8-1.0", "Res15Narrow", "DSCNNM", "KWSfpool3"):
+        cfg = get_preset(preset)
+        assert ExperimentConfig.from_json(cfg.to_json()) == cfg, preset
+
+    cfg = get_preset("TCResNet8-1.0")
+    cfg = cfg.replace(
+        model=dc.replace(cfg.model, bn_momentum=0.9, width_multiplier=1.5),
+        optim=dc.replace(cfg.optim, lr_list=(0.5,), boundaries=(),
+                         trainable_scopes=("fc",)),
+        data=dc.replace(cfg.data, oversampling_ratio=0.5,
+                        exclude_metric_names=("mAP_samples",),
+                        add_null_class=False),
+    )
+    assert ExperimentConfig.from_json(cfg.to_json()) == cfg
