@@ -100,3 +100,29 @@ def test_stereo_first_channel(tmp_path):
     got = native_loader.decode_batch([str(p)], 100)
     if got is not None:
         np.testing.assert_array_equal(got[0], left)
+
+
+def test_malformed_wavs_rejected_cleanly(tmp_path):
+    """Malformed/truncated/garbage files must come back as per-file error
+    statuses (ValueError at the Python boundary), never a crash in the
+    ctypes call — a segfault there would kill the training process."""
+    if not native_loader.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(0)
+    blobs = {
+        "empty": b"",
+        "short": b"RIFF",
+        "riff_only": b"RIFF\x00\x00\x00\x00WAVE",
+        "huge_fmt": (b"RIFF$\x00\x00\x00WAVEfmt "
+                     + (0xFFFFFFF0).to_bytes(4, "little")
+                     + b"\x01\x00\x01\x00"),
+        "zero_chunks": (b"RIFF" + (100).to_bytes(4, "little") + b"WAVE"
+                        + b"junk\x00\x00\x00\x00" * 10),
+    }
+    for i in range(8):
+        blobs[f"rand{i}"] = rng.bytes(int(rng.integers(10, 3000)))
+    for name, blob in blobs.items():
+        p = tmp_path / f"{name}.wav"
+        p.write_bytes(blob)
+        with pytest.raises(ValueError):
+            native_loader.decode_batch([str(p)], 1000)
