@@ -478,33 +478,25 @@ def fused_gather_augment(
     assert gather_fusable(wavs3d, cfg, noise_bank, n), "check gather_fusable()"
     scalars = _draw_scalars(key, is_silent, cfg, noise_bank, n, is_training)
     quantize = bool(getattr(cfg, "noise_crop_quantize", False))
-    if mesh is not None and mesh.devices.size > 1:
-        # A pallas_call is a custom call — the SPMD partitioner cannot
-        # split it under plain jit (it would force replication on a real
-        # multi-chip mesh). shard_map runs the kernel per-shard on local
-        # shapes: dataset + noise replicated, batch rows sharded over
-        # `data`. All randomness is drawn ABOVE on the global batch, so
-        # shards never correlate. Requires batch % data-axis == 0.
-        from jax.sharding import PartitionSpec as P
+    # shard_map policy lives in parallel/mesh.maybe_shard_map (kernels
+    # run per-shard on local shapes — a custom call cannot be split by
+    # plain jit). Randomness is drawn ABOVE on the global batch, so
+    # shards never correlate: dataset + noise replicated, rows sharded.
+    from jax.sharding import PartitionSpec as P
 
-        n_data = mesh.shape["data"]
-        if idx.shape[0] % (n_data * _TB) == 0:
-            from jax import shard_map
+    from tcresnet_tpu.parallel.mesh import maybe_shard_map
 
-            return shard_map(
-                lambda w, i, s, nb: _fused_gather_augment_impl(
-                    w, i, s, nb, n, interpret, quantize
-                ),
-                mesh=mesh,
-                in_specs=(
-                    P(),  # dataset: replicated
-                    P("data"),  # idx
-                    (P("data"),) * 5,  # per-row scalar draws
-                    P(),  # noise bank: replicated
-                ),
-                out_specs=P("data"),
-                check_vma=False,
-            )(wavs3d, idx, scalars, noise_bank)
+    sharded = maybe_shard_map(
+        lambda w, i, s, nb: _fused_gather_augment_impl(
+            w, i, s, nb, n, interpret, quantize
+        ),
+        mesh,
+        in_specs=(P(), P("data"), (P("data"),) * 5, P()),
+        batch=idx.shape[0],
+        tile=_TB,
+    )
+    if sharded is not None:
+        return sharded(wavs3d, idx, scalars, noise_bank)
     return _fused_gather_augment_impl(
         wavs3d, idx, scalars, noise_bank, n, interpret, quantize
     )

@@ -346,21 +346,21 @@ def fused_gather_augment_mfcc(
     scalars = _draw_scalars(key, is_silent, aug_cfg, noise_bank, n, is_training)
     quantize = bool(getattr(aug_cfg, "noise_crop_quantize", False))
     variant = resolve_dft_variant(audio_cfg, n)
-    if mesh is not None and mesh.devices.size > 1:
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
-        n_data = mesh.shape["data"]
-        if idx.shape[0] % (n_data * _TB) == 0:
-            return shard_map(
-                lambda w, i, s, nb: _impl(
-                    w, i, s, nb, n, audio_cfg, interpret, quantize, variant
-                ),
-                mesh=mesh,
-                in_specs=(P(), P("data"), (P("data"),) * 5, P()),
-                out_specs=P("data"),
-                check_vma=False,
-            )(wavs3d, idx, scalars, noise_bank)
+    from tcresnet_tpu.parallel.mesh import maybe_shard_map
+
+    sharded = maybe_shard_map(
+        lambda w, i, s, nb: _impl(
+            w, i, s, nb, n, audio_cfg, interpret, quantize, variant
+        ),
+        mesh,
+        in_specs=(P(), P("data"), (P("data"),) * 5, P()),
+        batch=idx.shape[0],
+        tile=_TB,
+    )
+    if sharded is not None:
+        return sharded(wavs3d, idx, scalars, noise_bank)
     return _impl(
         wavs3d, idx, scalars, noise_bank, n, audio_cfg, interpret, quantize,
         variant,

@@ -308,17 +308,16 @@ def build_fused_infer(
 
     @jax.jit
     def infer(wavs: jnp.ndarray) -> jnp.ndarray:
-        if mesh is not None and mesh.devices.size > 1:
-            n_data = mesh.shape["data"]
-            if wavs.shape[0] % (n_data * tb) == 0:
-                from jax import shard_map
-                from jax.sharding import PartitionSpec as P
+        from jax.sharding import PartitionSpec as P
 
-                return shard_map(
-                    _infer_local, mesh=mesh,
-                    in_specs=(P("data"),), out_specs=P("data"),
-                    check_vma=False,
-                )(wavs)
+        from tcresnet_tpu.parallel.mesh import maybe_shard_map
+
+        sharded = maybe_shard_map(
+            _infer_local, mesh, in_specs=(P("data"),),
+            batch=wavs.shape[0], tile=tb,
+        )
+        if sharded is not None:
+            return sharded(wavs)
         return _infer_local(wavs)
 
     return infer

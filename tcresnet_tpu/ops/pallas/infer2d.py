@@ -200,11 +200,21 @@ class _OpListBuilder:
         if b is not None:
             self.weights.append(b)
 
-    def svdf(self, w_freq, w_time_t, rank_sum, bias):
-        # w_freq [F, K], w_time_t [T, K], rank_sum [K, units] 0/1 matrix,
-        # bias [1, units] (kws.py:583-625 unit-major rank sum).
-        self.ops.append(("svdf",))
-        self.weights += [w_freq, w_time_t, rank_sum, bias]
+    def svdf(self, w_freq, w_time, bias, rank):
+        # w_freq [F, K], w_time [K, T], bias [1, units], K = units*rank
+        # with k = u*rank + r (kws.py:583-625 unit-major layout). The
+        # rank sum is done by HOST-side weight splitting: per rank
+        # component r, w_freq[:, r::rank] / w_time[r::rank].T are [F|T,
+        # units] slices whose per-r (freq-proj, time-dot) partials sum to
+        # the units — the in-kernel alternatives are a minor-dim reshape
+        # (illegal in Mosaic) or a [K, units] one-hot matmul (13 MB of
+        # VMEM zeros for low_latency_svdf).
+        self.ops.append(("svdf", rank))
+        for r in range(rank):
+            self.weights.append(np.ascontiguousarray(w_freq[:, r::rank]))
+        for r in range(rank):
+            self.weights.append(np.ascontiguousarray(w_time[r::rank].T))
+        self.weights.append(bias)
 
 
 def _build_tc2d(model_cfg: ModelConfig, params, stats) -> _OpListBuilder:
@@ -337,15 +347,11 @@ def _build_kws(model_cfg: ModelConfig, params, feature_shape) -> Tuple[_OpListBu
         return b, 3
 
     if arch == "low_latency_svdf":
-        rank, num_units = 2, 1280
-        k = rank * num_units
+        rank = 2
         w_freq = np.asarray(params["weights_frequency"], np.float32)  # [F, K]
         w_time = np.asarray(params["weights_time"], np.float32)  # [K, T]
-        rank_sum = np.zeros((k, num_units), np.float32)
-        for u in range(num_units):
-            rank_sum[u * rank : (u + 1) * rank, u] = 1.0  # k = u*rank + r
         bias = np.asarray(params["bias"], np.float32).reshape(1, -1)
-        b.svdf(w_freq, w_time.T.copy(), rank_sum, bias)
+        b.svdf(w_freq, w_time, bias, rank)
         # The only nonlinearity is relu(units + bias) inside the svdf op;
         # the fc chain is plain matmul+bias (kws.py:649-668, models/kws.py).
         for name in ("fc1", "fc2", "fc3"):
@@ -404,11 +410,9 @@ def _build_kws(model_cfg: ModelConfig, params, feature_shape) -> Tuple[_OpListBu
                 np.asarray(params["lin"]["kernel"], np.float32).reshape(fo, u, -1),
                 None,
             )
-            for name in ("fc1", "fc2"):
+            for name in ("fc1", "fc2", "fc3"):
                 w, bb = _dense_wb(params, name)
                 b.dense(w, bb)
-            w, bb = _dense_wb(params, "fc3")
-            b.dense(w, bb)
         else:
             b.flatten_dense(
                 np.asarray(params["fc1"]["kernel"], np.float32).reshape(fo, u, -1),
@@ -470,15 +474,10 @@ def _stride_select(x, axis: int, stride: int):
     return x[idx]
 
 
-def _conv2d_step(x, w, b, kh, kw, sh, sw, dil, relu, padding, mode):
-    """[TB, T, F, Ci] -> [TB, To, Fo, Co] TF-SAME/VALID k x k conv.
-
-    mode: "full" (MXU matmul per tap), "c1" (Ci==1 broadcast-multiply),
-    "dw" (depthwise broadcast-multiply).
-    """
-    tb, t, f, ci = x.shape
-    keh = (kh - 1) * dil + 1
-    kew = (kw - 1) * dil + 1
+def _window_geometry(t, f, keh, kew, sh, sw, padding):
+    """Shared TF-SAME/VALID window math for conv and maxpool: returns
+    (to, fo, span_t, span_f, pads) with pads the ((lo,hi),(lo,hi))
+    T/F padding (TF-SAME's asymmetric pad_lo = total//2 convention)."""
     if padding == "SAME":
         to = -(-t // sh)
         fo = -(-f // sw)
@@ -493,8 +492,23 @@ def _conv2d_step(x, w, b, kh, kw, sh, sw, dil, relu, padding, mode):
     span_f = sw * (fo - 1) + 1
     hi_t = max(span_t + keh - 1 - (t + plo_t), 0)
     hi_f = max(span_f + kew - 1 - (f + plo_f), 0)
-    if plo_t or hi_t or plo_f or hi_f:
-        x = jnp.pad(x, ((0, 0), (plo_t, hi_t), (plo_f, hi_f), (0, 0)))
+    return to, fo, span_t, span_f, ((plo_t, hi_t), (plo_f, hi_f))
+
+
+def _conv2d_step(x, w, b, kh, kw, sh, sw, dil, relu, padding, mode):
+    """[TB, T, F, Ci] -> [TB, To, Fo, Co] TF-SAME/VALID k x k conv.
+
+    mode: "full" (MXU matmul per tap), "c1" (Ci==1 broadcast-multiply),
+    "dw" (depthwise broadcast-multiply).
+    """
+    tb, t, f, ci = x.shape
+    keh = (kh - 1) * dil + 1
+    kew = (kw - 1) * dil + 1
+    to, fo, span_t, span_f, (pad_t, pad_f) = _window_geometry(
+        t, f, keh, kew, sh, sw, padding
+    )
+    if any(pad_t) or any(pad_f):
+        x = jnp.pad(x, ((0, 0), pad_t, pad_f, (0, 0)))
 
     acc = None
     for i in range(kh):
@@ -539,22 +553,12 @@ def _pool2d_step(x, ph, pw, sh, sw):
 def _maxpool2d_step(x, ph, pw, sh, sw, padding):
     """TF-SAME/VALID max pool (SAME pads with -inf)."""
     tb, t, f, ci = x.shape
-    if padding == "SAME":
-        to, fo = -(-t // sh), -(-f // sw)
-        pt = max((to - 1) * sh + ph - t, 0)
-        pf = max((fo - 1) * sw + pw - f, 0)
-    else:
-        to = (t - ph) // sh + 1
-        fo = (f - pw) // sw + 1
-        pt = pf = 0
-    plo_t, plo_f = pt // 2, pf // 2
-    span_t = sh * (to - 1) + 1
-    span_f = sw * (fo - 1) + 1
-    hi_t = max(span_t + ph - 1 - (t + plo_t), 0)
-    hi_f = max(span_f + pw - 1 - (f + plo_f), 0)
-    if plo_t or hi_t or plo_f or hi_f:
+    to, fo, span_t, span_f, (pad_t, pad_f) = _window_geometry(
+        t, f, ph, pw, sh, sw, padding
+    )
+    if any(pad_t) or any(pad_f):
         x = jnp.pad(
-            x, ((0, 0), (plo_t, hi_t), (plo_f, hi_f), (0, 0)),
+            x, ((0, 0), pad_t, pad_f, (0, 0)),
             constant_values=-np.inf,
         )
     acc = None
@@ -628,17 +632,24 @@ def _tconv_full_step(x, w, b, kw, sw, relu):
     return jnp.maximum(acc, 0.0) if relu else acc
 
 
-def _svdf_step(x, w_freq, w_time_t, rank_sum, bias, tb):
+def _svdf_step(x, w_freqs, w_time_ts, bias):
     """SVDF forward (kws.py:583-625): freq projection, per-filter time
-    dot, unit-major rank sum, relu(units + bias). x [TB, T, F]."""
-    t, f = x.shape[1], x.shape[2]
-    k = w_freq.shape[1]
-    acts = jnp.dot(
-        x.reshape(tb * t, f), w_freq, preferred_element_type=jnp.float32
-    ).reshape(tb, t, k)
-    out = jnp.sum(acts * w_time_t[None], axis=1)  # [TB, K]
-    units = jnp.dot(out, rank_sum, preferred_element_type=jnp.float32)
-    return jnp.maximum(units + bias, 0.0)
+    dot, unit-major rank sum, relu(units + bias). x [TB, T, F].
+
+    The rank sum arrives pre-split: w_freqs[r] [F, units] and
+    w_time_ts[r] [T, units] are the r-th rank component's weight slices
+    (builder svdf()), so summing the per-r partials IS the unit-major
+    rank sum — no [K, units] one-hot matmul, no minor-dim reshape."""
+    tb, t, f = x.shape
+    x2 = x.reshape(tb * t, f)
+    acc = None
+    for w_freq_r, w_time_r in zip(w_freqs, w_time_ts):
+        acts = jnp.dot(
+            x2, w_freq_r, preferred_element_type=jnp.float32
+        ).reshape(tb, t, -1)
+        part = jnp.sum(acts * w_time_r[None], axis=1)  # [TB, units]
+        acc = part if acc is None else acc + part
+    return jnp.maximum(acc + bias, 0.0)
 
 
 def _mask_cols(x, vf: int):
@@ -652,7 +663,7 @@ def _mask_cols(x, vf: int):
     return jnp.where(idx < vf, x, 0.0)
 
 
-def _kernel2d(*refs, tb: int, ops: Tuple[Tuple, ...]):
+def _kernel2d(*refs, ops: Tuple[Tuple, ...]):
     """Ref order: feats [TB,T,F,1] or [TB,T,F], per-op weights, out.
 
     A pure interpreter over the static op list; the final op leaves a
@@ -681,9 +692,13 @@ def _kernel2d(*refs, tb: int, ops: Tuple[Tuple, ...]):
             w = wrefs[wi][:]
             b = wrefs[wi + 1][:]
             wi += 2
-            if vf is not None:
-                # padded-F mode is only exact for stride-1 SAME convs
-                assert sh == 1 and sw == 1 and padding == "SAME", op
+            if vf is not None and not (
+                sh == 1 and sw == 1 and padding == "SAME"
+            ):
+                # padded-F mode is only exact for stride-1 SAME convs;
+                # raise (not assert — python -O strips asserts and the
+                # kernel would silently compute over the pad columns)
+                raise ValueError(f"padded-F conv must be stride-1 SAME: {op}")
             y = _conv2d_step(x, w, b, kh, kw, sh, sw, dil, relu, padding, mode)
             if vf is not None:
                 y = _mask_cols(y, vf)
@@ -705,7 +720,8 @@ def _kernel2d(*refs, tb: int, ops: Tuple[Tuple, ...]):
             _, ph, pw, sh, sw = op
             # pad columns are zero: an avg window spanning them would be
             # silently wrong (conv handles vf via re-zeroing; pools don't)
-            assert vf is None, "avg pool after F-padding is unsupported"
+            if vf is not None:
+                raise ValueError("avg pool after F-padding is unsupported")
             x = _pool2d_step(x, ph, pw, sh, sw)
             if sh == 1 and sw == 1 and x.shape[2] % 8:
                 vf = x.shape[2]
@@ -714,7 +730,8 @@ def _kernel2d(*refs, tb: int, ops: Tuple[Tuple, ...]):
                 )
         elif kind == "maxpool":
             _, ph, pw, sh, sw, padding = op
-            assert vf is None, "max pool after F-padding is unsupported"
+            if vf is not None:
+                raise ValueError("max pool after F-padding is unsupported")
             x = _maxpool2d_step(x, ph, pw, sh, sw, padding)
         elif kind == "save":
             shortcut = x
@@ -763,12 +780,16 @@ def _kernel2d(*refs, tb: int, ops: Tuple[Tuple, ...]):
                 wi += 1
             x = _tconv_full_step(x, w, b, kw, sw, relu)
         elif kind == "svdf":
-            w_freq = wrefs[wi][:]
-            w_time_t = wrefs[wi + 1][:]
-            rank_sum = wrefs[wi + 2][:]
-            bias = wrefs[wi + 3][:]
-            wi += 4
-            x = _svdf_step(x, w_freq, w_time_t, rank_sum, bias, tb)
+            rank = op[1]
+            w_freqs = [wrefs[wi + r][:] for r in range(rank)]
+            w_time_ts = [wrefs[wi + rank + r][:] for r in range(rank)]
+            bias = wrefs[wi + 2 * rank][:]
+            wi += 2 * rank + 1
+            x = _svdf_step(x, w_freqs, w_time_ts, bias)
+        else:
+            # an unhandled kind would silently desynchronize the weight
+            # index and produce garbage logits — fail at trace time
+            raise ValueError(f"unknown op kind {kind!r}")
 
     out_ref[:] = x
 
@@ -807,11 +828,12 @@ def build_fused_infer2d(
 
     tb = tb or _FAMILY_TB[model_cfg.name]
     n = audio_cfg.desired_samples
-    t_dim, f_dim, _ = dsp.feature_shape(audio_cfg)
+    feature_shape = dsp.feature_shape(audio_cfg)
+    t_dim, f_dim, _ = feature_shape
     ncls = model_cfg.num_classes
 
     ops, weights, input_rank = build_op_list(
-        model_cfg, params, batch_stats, dsp.feature_shape(audio_cfg)
+        model_cfg, params, batch_stats, feature_shape
     )
     weights = [jnp.asarray(w) for w in weights]
 
@@ -848,7 +870,7 @@ def build_fused_infer2d(
                 memory_space=pltpu.VMEM,
             )
 
-        kernel = functools.partial(_kernel2d, tb=tb_eff, ops=ops)
+        kernel = functools.partial(_kernel2d, ops=ops)
         out = pl.pallas_call(
             kernel,
             grid=(padded_b // tb_eff,),
@@ -870,19 +892,16 @@ def build_fused_infer2d(
 
     @jax.jit
     def infer(wavs: jnp.ndarray) -> jnp.ndarray:
-        if mesh is not None and mesh.devices.size > 1:
-            n_data = mesh.shape["data"]
-            if wavs.shape[0] % (n_data * tb) == 0:
-                from jax import shard_map
-                from jax.sharding import PartitionSpec as P
+        from jax.sharding import PartitionSpec as P
 
-                return shard_map(
-                    _infer_local,
-                    mesh=mesh,
-                    in_specs=(P("data"),),
-                    out_specs=P("data"),
-                    check_vma=False,
-                )(wavs)
+        from tcresnet_tpu.parallel.mesh import maybe_shard_map
+
+        sharded = maybe_shard_map(
+            _infer_local, mesh, in_specs=(P("data"),),
+            batch=wavs.shape[0], tile=tb,
+        )
+        if sharded is not None:
+            return sharded(wavs)
         return _infer_local(wavs)
 
     return infer

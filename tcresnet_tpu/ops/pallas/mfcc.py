@@ -370,17 +370,14 @@ def fused_mfcc(
         variant = resolve_dft_variant(cfg, audio.shape[-1])
     elif variant == "phases" and not phase_dft_available(cfg, audio.shape[-1]):
         variant = "hops"
-    if mesh is not None and mesh.devices.size > 1:
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
-        n_data = mesh.shape["data"]
-        if audio.shape[0] % (n_data * tb) == 0:
-            return shard_map(
-                lambda a: _fused_mfcc_impl(a, cfg, interpret, tb, variant),
-                mesh=mesh,
-                in_specs=(P("data"),),
-                out_specs=P("data"),
-                check_vma=False,
-            )(audio)
+    from tcresnet_tpu.parallel.mesh import maybe_shard_map
+
+    sharded = maybe_shard_map(
+        lambda a: _fused_mfcc_impl(a, cfg, interpret, tb, variant),
+        mesh, in_specs=(P("data"),), batch=audio.shape[0], tile=tb,
+    )
+    if sharded is not None:
+        return sharded(audio)
     return _fused_mfcc_impl(audio, cfg, interpret, tb, variant)

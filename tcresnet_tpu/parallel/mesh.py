@@ -80,3 +80,27 @@ def shard_batch(mesh: Mesh, x):
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(mesh, P("data"))
     )
+
+
+def maybe_shard_map(fn, mesh, in_specs, batch: int, tile: int = 1,
+                    out_specs=P("data")):
+    """shard_map `fn` over the data axis, or None when not applicable.
+
+    Single home for the kernel-sharding policy every Pallas wrapper
+    shares (a pallas_call is a custom call the SPMD partitioner cannot
+    split under plain jit — on a real multi-chip mesh it would force
+    replication, so kernels run per-shard on local shapes): requires a
+    >1-device mesh and a batch that divides into data-axis shards of
+    whole `tile`-row blocks. Returns the wrapped fn, or None — the
+    caller falls back to the single-device call.
+    """
+    if mesh is None or mesh.devices.size <= 1:
+        return None
+    if batch % (mesh.shape["data"] * max(tile, 1)) != 0:
+        return None
+    from jax import shard_map
+
+    return shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
