@@ -29,10 +29,9 @@ from tcresnet_tpu.parallel import mesh as meshlib
 
 
 def _next_pow2(x: int) -> int:
-    p = 128  # minimum one lane row
-    while p < x:
-        p *= 2
-    return p
+    from tcresnet_tpu.utils import next_pow2
+
+    return next_pow2(x, floor=128)  # minimum one lane row; shared law
 
 
 class DeviceDataset:

@@ -219,6 +219,7 @@ def augment(
     noise_bank: Optional[jnp.ndarray],
     is_training: bool,
     platform: Optional[str] = None,
+    mesh=None,
 ) -> jnp.ndarray:
     """Backend-dispatching augmentation entry point.
 
@@ -243,7 +244,9 @@ def augment(
     if use_pallas:
         from tcresnet_tpu.ops.pallas.augment import fused_augment
 
-        return fused_augment(wavs, is_silent, key, cfg, noise_bank, is_training)
+        return fused_augment(
+            wavs, is_silent, key, cfg, noise_bank, is_training, mesh=mesh
+        )
     return augment_batch(wavs, is_silent, key, cfg, noise_bank, is_training)
 
 
@@ -291,8 +294,12 @@ def augment_gathered(
     from tcresnet_tpu.data.device_data import DeviceDataset
 
     wavs = DeviceDataset.decode_rows(wavs3d, idx, clip_len)
+    # the mesh travels with the fallback: fused_augment must still run
+    # per-shard on a multi-chip mesh (a replicated pallas_call would
+    # silently erase the DP speedup on the input path)
     return augment(
-        wavs, is_silent, key, cfg, noise_bank, is_training, platform=platform
+        wavs, is_silent, key, cfg, noise_bank, is_training,
+        platform=platform, mesh=mesh,
     )
 
 

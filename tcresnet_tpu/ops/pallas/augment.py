@@ -54,11 +54,7 @@ _LANES = 128
 _ALIGN = 8 * _LANES  # DMA tiling granularity in samples
 
 
-def _next_pow2(x: int) -> int:
-    p = 1
-    while p < x:
-        p *= 2
-    return p
+from tcresnet_tpu.utils import next_pow2 as _next_pow2  # shared pow2 law
 
 
 def _roll_flat_2d(x, s, pltpu):
@@ -114,6 +110,52 @@ def mix_crop_row(shifted3, scratch, rem, vol, a_rows: int, crop_rolls: bool, plt
     return jnp.clip(shifted3 + vol * crop, -1.0, 1.0)
 
 
+def augment_block_rows(
+    i, get_wav3, shift_ref, srow_ref, rem_ref, vol_ref, keep_ref,
+    noise_ref, scratches, sem, p: int, win_rows: int, crop_rolls: bool,
+    pl, pltpu,
+):
+    """One grid step of the fused augment phase: start all TB crop DMAs,
+    shift rows while they fly, then mix+clip; returns the TB augmented
+    [1, A, 128] f32 rows as values. `get_wav3(r)` supplies the r-th wav
+    block (pre-decoded f32 for v4; int16-decode-on-read for v5 and the
+    single-kernel frontend). The SINGLE implementation of the
+    DMA/shift/mix orchestration shared by _kernel, _kernel_gather, and
+    frontend._kernel — the three must never drift."""
+    a_rows = p // _LANES
+
+    def crop_dma(r):
+        start = pl.multiple_of(srow_ref[i * _TB + r], 8)
+        return pltpu.make_async_copy(
+            noise_ref.at[pl.ds(start, win_rows)],
+            scratches[r].at[pl.ds(0, win_rows)],
+            sem.at[r],
+        )
+
+    for r in range(_TB):
+        crop_dma(r).start()
+
+    pos = sample_positions(a_rows)
+    shifted = []
+    for r in range(_TB):
+        b = i * _TB + r
+        shifted.append(
+            shift_row(get_wav3(r), shift_ref[b], keep_ref[b], pos, p, pltpu)
+        )
+
+    rows = []
+    for r in range(_TB):
+        b = i * _TB + r
+        crop_dma(r).wait()
+        rows.append(
+            mix_crop_row(
+                shifted[r], scratches[r], rem_ref[b], vol_ref[b],
+                a_rows, crop_rolls, pltpu,
+            )
+        )
+    return rows
+
+
 def _kernel(
     shift_ref,  # [B] int32   (scalar prefetch; signed sample shift)
     srow_ref,   # [B] int32   (crop start row in the 2D bank, 8-aligned)
@@ -134,36 +176,14 @@ def _kernel(
     scratches = scratches_and_sem[:_TB]
     sem = scratches_and_sem[_TB]
     i = pl.program_id(0)
-    a_rows = p // _LANES
 
-    def crop_dma(r):
-        start = pl.multiple_of(srow_ref[i * _TB + r], 8)
-        return pltpu.make_async_copy(
-            noise_ref.at[pl.ds(start, win_rows)],
-            scratches[r].at[pl.ds(0, win_rows)],
-            sem.at[r],
-        )
-
+    rows = augment_block_rows(
+        i, lambda r: wav_ref[r : r + 1, :, :],
+        shift_ref, srow_ref, rem_ref, vol_ref, keep_ref,
+        noise_ref, scratches, sem, p, win_rows, crop_rolls, pl, pltpu,
+    )
     for r in range(_TB):
-        crop_dma(r).start()
-
-    pos = sample_positions(a_rows)
-
-    # per-row shift phase; every op is a full-width [1, A, 128] VPU op
-    for r in range(_TB):
-        b = i * _TB + r
-        out_ref[r : r + 1] = shift_row(
-            wav_ref[r : r + 1, :, :], shift_ref[b], keep_ref[b], pos, p, pltpu
-        )
-
-    # per-row crop mix + clip
-    for r in range(_TB):
-        b = i * _TB + r
-        crop_dma(r).wait()
-        out_ref[r : r + 1] = mix_crop_row(
-            out_ref[r : r + 1], scratches[r], rem_ref[b], vol_ref[b],
-            a_rows, crop_rolls, pltpu,
-        )
+        out_ref[r : r + 1] = rows[r]
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))
@@ -180,7 +200,10 @@ def _fused_augment_impl(wavs, scalars, noise_bank, n, interpret, quantize_crops=
             jnp.pad(a, (0, pad_b)) for a in (shifts, clips, offs, vols, keeps)
         )
     padded_b = wavs.shape[0]
-    assert n % _LANES == 0, "clip length must be lane-aligned"
+    if n % _LANES:
+        # raise, not assert: python -O strips asserts and a misaligned
+        # clip would corrupt the row layout silently
+        raise ValueError(f"clip length {n} must be lane-aligned ({_LANES})")
     p = _next_pow2(n)
     if p > n:
         wavs = jnp.pad(wavs, ((0, 0), (0, p - n)))
@@ -263,37 +286,14 @@ def _kernel_gather(
     sem = refs[8 + 2 * _TB]
 
     i = pl.program_id(0)
-    a_rows = p // _LANES
 
-    def crop_dma(r):
-        start = pl.multiple_of(srow_ref[i * _TB + r], 8)
-        return pltpu.make_async_copy(
-            noise_ref.at[pl.ds(start, win_rows)],
-            scratches[r].at[pl.ds(0, win_rows)],
-            sem.at[r],
-        )
-
+    rows = augment_block_rows(
+        i, lambda r: wav_refs[r][:].astype(jnp.float32) * scale,
+        shift_ref, srow_ref, rem_ref, vol_ref, keep_ref,
+        noise_ref, scratches, sem, p, win_rows, crop_rolls, pl, pltpu,
+    )
     for r in range(_TB):
-        crop_dma(r).start()
-
-    pos = sample_positions(a_rows)
-
-    # per-row decode + shift while the crop DMAs fly
-    for r in range(_TB):
-        b = i * _TB + r
-        wav = wav_refs[r][:].astype(jnp.float32) * scale
-        out_ref[r : r + 1] = shift_row(
-            wav, shift_ref[b], keep_ref[b], pos, p, pltpu
-        )
-
-    # per-row crop mix + clip
-    for r in range(_TB):
-        b = i * _TB + r
-        crop_dma(r).wait()
-        out_ref[r : r + 1] = mix_crop_row(
-            out_ref[r : r + 1], scratches[r], rem_ref[b], vol_ref[b],
-            a_rows, crop_rolls, pltpu,
-        )
+        out_ref[r : r + 1] = rows[r]
 
 
 def crop_scalar_prep(offs, clips, stride, quantize_crops: bool):
@@ -315,11 +315,23 @@ def crop_scalar_prep(offs, clips, stride, quantize_crops: bool):
 
 
 def _noise_bank_2d(noise_bank, n):
-    """[K, L] noise bank -> ([rows, 128] matrix, row stride) for 8-row DMA."""
+    """[K, L] noise bank -> ([rows, 128] matrix, row stride) for 8-row DMA.
+
+    stride covers exactly the maximum DMA extent: the largest aligned
+    crop offset is align_down(clip_len - n) and each DMA reads `window`
+    samples, so align_up(clip_len - n + window) suffices — a bleed past
+    one clip's stride can only land in crop positions >= n, which every
+    consumer discards ([:n] slices).
+
+    NOTE this pad+reshape runs inside the jitted step (the bank is a
+    traced argument); XLA's while-loop LICM is expected to hoist it out
+    of the scan body. If a hardware profile ever shows the per-step
+    copy, precompute the 2D layout once at bank-upload time instead.
+    """
     k_clips, clip_len = noise_bank.shape
     window = ((n + _ALIGN) + _ALIGN - 1) // _ALIGN * _ALIGN
     win_rows = window // _LANES
-    stride = clip_len + _ALIGN + window
+    stride = clip_len - n + window
     stride += (-stride) % _ALIGN
     noise2d = (
         jnp.pad(noise_bank, ((0, 0), (0, stride - clip_len))).reshape(-1, _LANES)
@@ -337,9 +349,14 @@ def _fused_gather_augment_impl(
     shifts, clips, offs, vols, keeps = scalars
     batch = idx.shape[0]
     _, a_rows, lanes = wavs3d.shape
-    assert lanes == _LANES
     p = a_rows * _LANES
-    assert p == _next_pow2(p), "dataset rows must be pow2-padded"
+    if lanes != _LANES or p != _next_pow2(p):
+        # raise, not assert (python -O): a non-pow2/non-lane layout
+        # breaks the in-kernel roll decomposition silently
+        raise ValueError(
+            f"dataset rows must be pow2-padded [N, P/{_LANES}, {_LANES}]; "
+            f"got lanes={lanes}, P={p}"
+        )
 
     pad_b = (-batch) % _TB
     if pad_b:
@@ -436,7 +453,13 @@ def gather_fusable(
     _, a_rows, lanes = wavs3d.shape
     p = a_rows * lanes
     return (
-        cfg.method != "no_augmentation_audio"
+        # ONLY the two anchored methods: an unknown method must fall
+        # through to the XLA path, which raises ValueError — silently
+        # treating a typo'd method as anchored_slice_or_pad here would
+        # train with wrong augmentation on TPU while CPU errors
+        cfg.method in (
+            "anchored_slice_or_pad", "anchored_slice_or_pad_with_shift"
+        )
         and noise_bank is not None
         and noise_bank.shape[0] > 0
         # crops need clip_len >= n: randint(0, clip_len - n + 1) with an
@@ -473,9 +496,16 @@ def fused_gather_augment(
     (ops/augment.augment_gathered does, with an XLA fallback).
 
     Bit-exact vs gathering rows and calling fused_augment/augment_batch
-    with the same key (tests/test_pallas.py).
+    with the same key (tests/test_pallas_augment.py
+    test_gather_fused_matches_gather_then_augment).
     """
-    assert gather_fusable(wavs3d, cfg, noise_bank, n), "check gather_fusable()"
+    if not gather_fusable(wavs3d, cfg, noise_bank, n):
+        # raise, not assert (python -O): an unfusable geometry reaching
+        # the kernel means out-of-bounds noise DMAs or a wrong layout
+        raise ValueError(
+            "fused_gather_augment requires gather_fusable(); callers "
+            "must check it and fall back (ops/augment.augment_gathered)"
+        )
     scalars = _draw_scalars(key, is_silent, cfg, noise_bank, n, is_training)
     quantize = bool(getattr(cfg, "noise_crop_quantize", False))
     # shard_map policy lives in parallel/mesh.maybe_shard_map (kernels
@@ -510,11 +540,23 @@ def fused_augment(
     noise_bank: Optional[jnp.ndarray],
     is_training: bool,
     interpret: bool = False,
+    mesh=None,
 ) -> jnp.ndarray:
-    """Drop-in fused equivalent of ops/augment.augment_batch."""
+    """Drop-in fused equivalent of ops/augment.augment_batch.
+
+    With a multi-device `mesh`, the kernel runs per-shard under
+    shard_map like its siblings (parallel/mesh.maybe_shard_map) — this
+    is also augment_gathered's fallback when gather_fusable rejects the
+    dataset, so without it a multi-chip step would silently replicate
+    the full-batch augmentation on every chip."""
     batch, n = wavs.shape
     if (
-        cfg.method == "no_augmentation_audio"
+        # ONLY the two anchored methods (see gather_fusable): unknown
+        # methods must reach the XLA path's ValueError, and
+        # no_augmentation_audio is pure silence-zeroing
+        cfg.method not in (
+            "anchored_slice_or_pad", "anchored_slice_or_pad_with_shift"
+        )
         or noise_bank is None
         or noise_bank.shape[0] == 0
         # crops need clip_len >= n (same guard as gather_fusable):
@@ -532,11 +574,20 @@ def fused_augment(
         )
 
     scalars = _draw_scalars(key, is_silent, cfg, noise_bank, n, is_training)
+    quantize = bool(getattr(cfg, "noise_crop_quantize", False))
+    from jax.sharding import PartitionSpec as P
+
+    from tcresnet_tpu.parallel.mesh import maybe_shard_map
+
+    sharded = maybe_shard_map(
+        lambda w, s, nb: _fused_augment_impl(w, s, nb, n, interpret, quantize),
+        mesh,
+        in_specs=(P("data"), (P("data"),) * 5, P()),
+        batch=batch,
+        tile=_TB,
+    )
+    if sharded is not None:
+        return sharded(wavs.astype(jnp.float32), scalars, noise_bank)
     return _fused_augment_impl(
-        wavs.astype(jnp.float32),
-        scalars,
-        noise_bank,
-        n,
-        interpret,
-        bool(getattr(cfg, "noise_crop_quantize", False)),
+        wavs.astype(jnp.float32), scalars, noise_bank, n, interpret, quantize
     )

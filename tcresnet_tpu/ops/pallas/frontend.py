@@ -46,11 +46,9 @@ from tcresnet_tpu.ops.pallas.augment import (
     _draw_scalars,
     _next_pow2,
     _noise_bank_2d,
+    augment_block_rows,
     crop_scalar_prep,
     gather_fusable,
-    mix_crop_row,
-    sample_positions,
-    shift_row,
 )
 from tcresnet_tpu.ops.pallas.mfcc import (
     fused_mfcc_available,
@@ -127,39 +125,16 @@ def _kernel(
     sem = refs[10 + 2 * _TB + num_dft]
 
     i = pl.program_id(0)
-    a_rows = p // _LANES
 
-    def crop_dma(r):
-        start = pl.multiple_of(srow_ref[i * _TB + r], 8)
-        return pltpu.make_async_copy(
-            noise_ref.at[pl.ds(start, win_rows)],
-            scratches[r].at[pl.ds(0, win_rows)],
-            sem.at[r],
-        )
-
-    for r in range(_TB):
-        crop_dma(r).start()
-
-    pos = sample_positions(a_rows)
-
-    # --- augment phase (the shared shift_row/mix_crop_row bodies from
-    # ops/pallas/augment, but the result stays in registers/VMEM values) ---
-    shifted = []
-    for r in range(_TB):
-        b = i * _TB + r
-        wav = wav_refs[r][:].astype(jnp.float32) * scale
-        shifted.append(shift_row(wav, shift_ref[b], keep_ref[b], pos, p, pltpu))
-
+    # --- augment phase: the shared DMA/shift/mix orchestration from
+    # ops/pallas/augment (results stay in registers/VMEM values) ---
+    rows = augment_block_rows(
+        i, lambda r: wav_refs[r][:].astype(jnp.float32) * scale,
+        shift_ref, srow_ref, rem_ref, vol_ref, keep_ref,
+        noise_ref, scratches, sem, p, win_rows, crop_rolls, pl, pltpu,
+    )
     n_rows = n // _LANES  # rows holding real samples (n % 128 == 0)
-    aug_rows = []
-    for r in range(_TB):
-        b = i * _TB + r
-        crop_dma(r).wait()
-        aug = mix_crop_row(
-            shifted[r], scratches[r], rem_ref[b], vol_ref[b],
-            a_rows, crop_rolls, pltpu,
-        )
-        aug_rows.append(aug[:, :n_rows, :])  # [1, n_rows, 128]
+    aug_rows = [a[:, :n_rows, :] for a in rows]  # [1, n_rows, 128] each
 
     if phase_plan is not None:
         # --- phase-decomposed DFT tail: consumes the lane-major layout
@@ -342,7 +317,12 @@ def fused_gather_augment_mfcc(
     Callers must check frontend_fusable() first. With a multi-device
     mesh, runs per-shard under shard_map (randomness drawn here on the
     global batch, so shards never correlate)."""
-    assert frontend_fusable(wavs3d, aug_cfg, audio_cfg, noise_bank, n)
+    if not frontend_fusable(wavs3d, aug_cfg, audio_cfg, noise_bank, n):
+        # raise, not assert (python -O strips asserts)
+        raise ValueError(
+            "fused_gather_augment_mfcc requires frontend_fusable(); "
+            "callers must check it and fall back"
+        )
     scalars = _draw_scalars(key, is_silent, aug_cfg, noise_bank, n, is_training)
     quantize = bool(getattr(aug_cfg, "noise_crop_quantize", False))
     variant = resolve_dft_variant(audio_cfg, n)

@@ -567,7 +567,8 @@ class Trainer:
         )
         noise = self.data.noise_bank
         wavs = aug.augment(
-            wavs, silent, k2, self.cfg.augment, noise, True, platform=self.platform
+            wavs, silent, k2, self.cfg.augment, noise, True,
+            platform=self.platform, mesh=self.mesh,
         )
         self.writer.write_audio(
             step, "input_audio", np.asarray(wavs), self.cfg.audio.sample_rate

@@ -4,6 +4,7 @@ same per-row random draws, and distributional parity end-to-end."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tcresnet_tpu.config import AugmentConfig
 from tcresnet_tpu.ops.pallas.augment import _fused_augment_impl, fused_augment
@@ -179,3 +180,24 @@ def test_augment_gathered_dispatch_fallback(rng):
         xla_augment.augment_batch(decoded, silent, key, cfg, noise, True)
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_unknown_method_rejected_on_fused_paths():
+    """A typo'd augmentation method must raise everywhere — the fused
+    paths used to silently treat it as anchored_slice_or_pad (shift
+    dropped), training with wrong augmentation on TPU while CPU raised."""
+    import dataclasses
+
+    from tcresnet_tpu.ops.pallas.augment import fused_augment, gather_fusable
+
+    bad = dataclasses.replace(
+        AugmentConfig(), method="anchored_slice_or_pad_shift"  # typo
+    )
+    wavs3d = jnp.zeros((4, 2, 128), jnp.int16)
+    noise = jnp.ones((2, 400), jnp.float32)
+    assert not gather_fusable(wavs3d, bad, noise, 256)
+    with pytest.raises(ValueError, match="Unknown augmentation method"):
+        fused_augment(
+            jnp.zeros((4, 256), jnp.float32), jnp.zeros((4,), bool),
+            jax.random.key(0), bad, noise, True, interpret=True,
+        )

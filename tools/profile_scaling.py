@@ -126,7 +126,7 @@ def main(argv=None):
                     plat = "cpu" if stage == "augment_xla" else platform
                     x = aug.augment(
                         x, silent, ka, cfg.augment, nz,
-                        is_training=True, platform=plat,
+                        is_training=True, platform=plat, mesh=mesh,
                     )
                 if stage == "mfcc":
                     x = dsp.preprocess(x, cfg.audio)
