@@ -296,6 +296,33 @@ def _kernel_gather(
         out_ref[r : r + 1] = rows[r]
 
 
+def pad_batch_scalars(idx, scalars):
+    """Pad idx + the per-row scalar draws to a multiple of _TB.
+
+    Padded rows read dataset row idx=0 with keep=0 and are sliced off by
+    every caller ([:batch]). Shared by _fused_gather_augment_impl and
+    the single-kernel frontend (frontend._impl)."""
+    batch = idx.shape[0]
+    pad_b = (-batch) % _TB
+    if pad_b:
+        idx = jnp.pad(idx, (0, pad_b))
+        scalars = tuple(jnp.pad(a, (0, pad_b)) for a in scalars)
+    return idx, tuple(scalars)
+
+
+def gather_wav_spec(r: int, a_rows: int, pl, pltpu):
+    """Index-mapped [1, A, 128] dataset-row BlockSpec: the index map
+    reads the prefetched batch indices (the LAST scalar-prefetch
+    operand), so the dataset-row gather IS the pipelined block fetch —
+    no materialized batch array. This trick is load-bearing for the v5
+    gather kernel AND the single-kernel frontend; it lives once here."""
+    return pl.BlockSpec(
+        (1, a_rows, _LANES),
+        lambda i, *prefetch: (prefetch[-1][i * _TB + r], 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
 def crop_scalar_prep(offs, clips, stride, quantize_crops: bool):
     """Per-row noise-crop scalars -> (rems, start_rows).
 
@@ -358,35 +385,19 @@ def _fused_gather_augment_impl(
             f"got lanes={lanes}, P={p}"
         )
 
-    pad_b = (-batch) % _TB
-    if pad_b:
-        idx = jnp.pad(idx, (0, pad_b))
-        shifts, clips, offs, vols, keeps = (
-            jnp.pad(a, (0, pad_b)) for a in (shifts, clips, offs, vols, keeps)
-        )
+    idx, (shifts, clips, offs, vols, keeps) = pad_batch_scalars(
+        idx, (shifts, clips, offs, vols, keeps)
+    )
     padded_b = idx.shape[0]
 
     noise2d, stride, win_rows = _noise_bank_2d(noise_bank, n)
     scratch_rows = _next_pow2(max(win_rows, a_rows))
     rems, start_rows = crop_scalar_prep(offs, clips, stride, quantize_crops)
 
-    def wav_spec(r):
-        # block (1, A, 128) = dataset row idx[i*TB + r]; the index map
-        # reads the prefetched idx so the gather IS the block fetch
-        return pl.BlockSpec(
-            (1, a_rows, _LANES),
-            lambda i, shift, srow, rem, vol, keep, idx_r: (
-                idx_r[i * _TB + r],
-                0,
-                0,
-            ),
-            memory_space=pltpu.VMEM,
-        )
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(padded_b // _TB,),
-        in_specs=[wav_spec(r) for r in range(_TB)]
+        in_specs=[gather_wav_spec(r, a_rows, pl, pltpu) for r in range(_TB)]
         + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (_TB, a_rows, _LANES), lambda i, *_: (i, 0, 0),

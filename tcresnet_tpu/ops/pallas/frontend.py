@@ -1,5 +1,15 @@
 """Fully fused input front end: gather + decode + augment + MFCC, ONE kernel.
 
+Reference parity: this kernel fuses the behaviors of the reference's
+per-element tf.data augmentation pipeline
+(/root/reference/datasets/augmentation_factory.py:30-158 — decode_wav,
+anchored_slice_or_pad[_with_shift], background mix, clip) and the
+training-path MFCC front end
+(/root/reference/datasets/preprocessors.py:64-124 — stft, power, mel,
+log, DCT) into one TPU kernel; the individual semantics live in
+ops/augment.py and ops/dsp.py and are reproduced exactly (same draws,
+same constant matrices).
+
 The end state of the input-pipeline fusion line (SURVEY.md 2.9.2/2.9.3):
 per training batch row, this kernel
 
@@ -49,12 +59,14 @@ from tcresnet_tpu.ops.pallas.augment import (
     augment_block_rows,
     crop_scalar_prep,
     gather_fusable,
+    gather_wav_spec,
+    pad_batch_scalars,
 )
 from tcresnet_tpu.ops.pallas.mfcc import (
     fused_mfcc_available,
+    mfcc_plan,
     mfcc_tail,
     mfcc_tail_phases,
-    phase_dft_plan,
     resolve_dft_variant,
 )
 
@@ -155,7 +167,7 @@ def _kernel(
     # --- shared MFCC matmul tail (ops/pallas/mfcc.mfcc_tail) ---
     out_ref[:] = mfcc_tail(
         hops, dft_refs[0][:], mel_ref[:], dct_ref[:],
-        tb=_TB, n_hops=n_hops, hop=hop, k=k, num_bins=num_bins,
+        tb=_TB, n_hops=n_hops, k=k, num_bins=num_bins,
         frames=frames, matmul_dtype=matmul_dtype,
     )
 
@@ -167,60 +179,25 @@ def _impl(wavs3d, idx, scalars, noise_bank, n, cfg, interpret, quantize_crops,
     from jax.experimental.pallas import tpu as pltpu
 
     shifts, clips, offs, vols, keeps = scalars
-    batch = idx.shape[0]
     _, a_rows, lanes = wavs3d.shape
     p = a_rows * _LANES
+    batch = idx.shape[0]
 
-    pad_b = (-batch) % _TB
-    if pad_b:
-        idx = jnp.pad(idx, (0, pad_b))
-        shifts, clips, offs, vols, keeps = (
-            jnp.pad(a, (0, pad_b)) for a in (shifts, clips, offs, vols, keeps)
-        )
+    idx, (shifts, clips, offs, vols, keeps) = pad_batch_scalars(
+        idx, (shifts, clips, offs, vols, keeps)
+    )
     padded_b = idx.shape[0]
 
     noise2d, stride, win_rows = _noise_bank_2d(noise_bank, n)
     scratch_rows = _next_pow2(max(win_rows, a_rows))
     rems, start_rows = crop_scalar_prep(offs, clips, stride, quantize_crops)
 
-    # MFCC geometry + constants
-    window = cfg.window_size_samples
-    hop = cfg.window_stride_samples
-    fft_length = dsp.fft_length_for(window)
-    num_bins = fft_length // 2 + 1
-    k = window // hop
-    n_hops = n // hop
-    frames = n_hops - k + 1
-    mel = dsp.linear_to_mel_weight_matrix(
-        cfg.num_mel_bins, num_bins, cfg.sample_rate,
-        cfg.lower_edge_hertz, cfg.upper_edge_hertz,
-    )
-    dct = dsp.dct_ii_matrix(cfg.num_mel_bins, cfg.num_mfccs)
-    matmul_dtype = dsp.dsp_matmul_dtype(cfg)
-
-    if variant == "phases":
-        phase_plan = phase_dft_plan(window, hop, n, fft_length)
-        dft_ws = [
-            jnp.asarray(w).astype(matmul_dtype) for *_, w in phase_plan[4]
-        ]
-    else:
-        phase_plan = None
-        dft_ws = [
-            jnp.asarray(
-                dsp.dft_hop_blocks(window, hop, fft_length)
-            ).astype(matmul_dtype)
-        ]
-
-    def wav_spec(r):
-        return pl.BlockSpec(
-            (1, a_rows, _LANES),
-            lambda i, shift, srow, rem, vol, keep, idx_r: (
-                idx_r[i * _TB + r],
-                0,
-                0,
-            ),
-            memory_space=pltpu.VMEM,
-        )
+    # MFCC geometry + constants: the SHARED construction with the fused
+    # MFCC kernel (mfcc.mfcc_plan) — the one-kernel and two-kernel paths
+    # must never drift
+    (window, hop, fft_length, num_bins, k, n_hops, frames), dft_ws, mel, \
+        dct, matmul_dtype, phase_plan = mfcc_plan(cfg, n, variant)
+    two_k = 2 * num_bins
 
     def const_spec(shape):
         return pl.BlockSpec(
@@ -230,7 +207,7 @@ def _impl(wavs3d, idx, scalars, noise_bank, n, cfg, interpret, quantize_crops,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(padded_b // _TB,),
-        in_specs=[wav_spec(r) for r in range(_TB)]
+        in_specs=[gather_wav_spec(r, a_rows, pl, pltpu) for r in range(_TB)]
         + [pl.BlockSpec(memory_space=pl.ANY)]
         + [const_spec(w.shape) for w in dft_ws]
         + [
@@ -245,6 +222,25 @@ def _impl(wavs3d, idx, scalars, noise_bank, n, cfg, interpret, quantize_crops,
             pltpu.VMEM((scratch_rows, _LANES), jnp.float32) for _ in range(_TB)
         ]
         + [pltpu.SemaphoreType.DMA((_TB,))],
+    )
+    # cost estimate for XLA's latency-hiding scheduler (the sibling MFCC
+    # kernel ships one; this kernel subsumes it plus the augment work):
+    # DFT + mel + DCT MXU flops, augment roll/mix VPU work, and the
+    # int16 row reads + noise-crop DMAs + feature writes
+    if phase_plan is not None:
+        dft_flops = sum(
+            f_p * r_p * _LANES * two_k for _, r_p, f_p, _ in phase_plan[4]
+        )
+    else:
+        dft_flops = n_hops * hop * k * two_k
+    tail_flops = (frames * num_bins * cfg.num_mel_bins
+                  + frames * cfg.num_mel_bins * cfg.num_mfccs)
+    cost = pl.CostEstimate(
+        flops=2 * padded_b * (dft_flops + tail_flops) + 8 * padded_b * p,
+        bytes_accessed=padded_b * (
+            p * 2 + win_rows * _LANES * 4 + frames * cfg.num_mfccs * 4
+        ),
+        transcendentals=padded_b * frames * cfg.num_mel_bins,
     )
     out = pl.pallas_call(
         functools.partial(
@@ -267,6 +263,7 @@ def _impl(wavs3d, idx, scalars, noise_bank, n, cfg, interpret, quantize_crops,
             (padded_b, frames, cfg.num_mfccs), jnp.float32
         ),
         interpret=interpret,
+        cost_estimate=cost,
     )(
         shifts.astype(jnp.int32),
         start_rows,

@@ -174,7 +174,7 @@ def _kernel(
     x = mfcc_tail(
         hops_ref[:].reshape(tb * n_hops, hop),
         dft_ref[:], mel_ref[:], dct_ref[:],
-        tb=tb, n_hops=n_hops, hop=hop, k=k_dft, num_bins=num_bins,
+        tb=tb, n_hops=n_hops, k=k_dft, num_bins=num_bins,
         frames=frames, matmul_dtype=matmul_dtype,
     )
 

@@ -72,7 +72,7 @@ def mfcc_from_reim(reim, mel_w, dct_w, *, tb, frames, num_bins):
 
 
 def mfcc_tail(
-    hops, dft, mel_w, dct_w, *, tb, n_hops, hop, k, num_bins, frames,
+    hops, dft, mel_w, dct_w, *, tb, n_hops, k, num_bins, frames,
     matmul_dtype=jnp.float32,
 ):
     """[tb*n_hops, hop] hop rows -> [tb, frames, n_mfccs] MFCCs.
@@ -154,13 +154,14 @@ def phase_dft_plan(window: int, hop: int, n: int, fft_length: int):
 
 
 def phase_dft_available(cfg: AudioConfig, num_samples: Optional[int] = None) -> bool:
-    """Whether the phase-decomposed DFT applies (lane-aligned clips)."""
+    """Whether the phase-decomposed DFT applies (lane-aligned clips).
+
+    phase_dft_plan's own raises are the single source of geometry truth
+    (lane alignment, lcm divisibility, signal-bounds) — re-stating its
+    rules here would be double maintenance."""
     n = num_samples or cfg.desired_samples
     window, hop = cfg.window_size_samples, cfg.window_stride_samples
-    if cfg.preprocess_method != "mfcc" or n < window or n % _LANES:
-        return False
-    lcm = hop * _LANES // math.gcd(hop, _LANES)
-    if n % lcm:
+    if cfg.preprocess_method != "mfcc" or n < window:
         return False
     try:
         phase_dft_plan(window, hop, n, dsp.fft_length_for(window))
@@ -210,7 +211,7 @@ def _kernel(audio_ref, dft_ref, mel_ref, dct_ref, out_ref, *, n_hops, hop, k, nu
     out_ref[:] = mfcc_tail(
         audio_ref[:].reshape(tb * n_hops, hop),
         dft_ref[:], mel_ref[:], dct_ref[:],
-        tb=tb, n_hops=n_hops, hop=hop, k=k, num_bins=num_bins,
+        tb=tb, n_hops=n_hops, k=k, num_bins=num_bins,
         frames=frames, matmul_dtype=matmul_dtype,
     )
 
@@ -234,22 +235,11 @@ def _fused_mfcc_impl(audio, cfg: AudioConfig, interpret: bool, tb: int = 8,
     from jax.experimental.pallas import tpu as pltpu
 
     batch, n = audio.shape
-    window = cfg.window_size_samples
-    hop = cfg.window_stride_samples
-    fft_length = dsp.fft_length_for(window)
-    num_bins = fft_length // 2 + 1
-    k = window // hop
-    n_hops = n // hop
-    frames = n_hops - k + 1
-
+    # shared geometry/constants construction (mfcc_plan): the fused
+    # frontend consumes the same helper, so the two paths cannot drift
+    (window, hop, fft_length, num_bins, k, n_hops, frames), dft_ws, mel, \
+        dct, matmul_dtype, plan = mfcc_plan(cfg, n, variant)
     two_k = 2 * num_bins
-    mel = dsp.linear_to_mel_weight_matrix(
-        cfg.num_mel_bins, num_bins, cfg.sample_rate,
-        cfg.lower_edge_hertz, cfg.upper_edge_hertz,
-    )
-    dct = dsp.dct_ii_matrix(cfg.num_mel_bins, cfg.num_mfccs)
-
-    matmul_dtype = dsp.dsp_matmul_dtype(cfg)
     pad = (-batch) % tb
     if pad:
         audio = jnp.pad(audio, ((0, pad), (0, 0)))
@@ -275,13 +265,11 @@ def _fused_mfcc_impl(audio, cfg: AudioConfig, interpret: bool, tb: int = 8,
     out_shape = jax.ShapeDtypeStruct((padded, frames, cfg.num_mfccs), jnp.float32)
 
     if variant == "phases":
-        plan = phase_dft_plan(window, hop, n, fft_length)
         audio = audio.astype(jnp.float32).reshape(padded, n // _LANES, _LANES)
         kernel = functools.partial(
             _kernel_phases, plan=plan, num_bins=num_bins,
             matmul_dtype=matmul_dtype,
         )
-        dft_ws = [jnp.asarray(w).astype(matmul_dtype) for *_, w in plan[4]]
         # per-phase canonical matmuls: [frames_p, rows_p*128] @ [., 2K]
         phases_flops = sum(
             f_p * r_p * _LANES * two_k for _, r_p, f_p, _ in plan[4]
@@ -301,7 +289,6 @@ def _fused_mfcc_impl(audio, cfg: AudioConfig, interpret: bool, tb: int = 8,
             cost_estimate=cost_for(phases_flops),
         )(audio, *dft_ws, jnp.asarray(mel), jnp.asarray(dct))
     else:
-        dft_blocks = dsp.dft_hop_blocks(window, hop, fft_length)
         audio = audio.astype(jnp.float32).reshape(padded, n_hops, hop)
         kernel = functools.partial(
             _kernel, n_hops=n_hops, hop=hop, k=k, num_bins=num_bins,
@@ -321,21 +308,61 @@ def _fused_mfcc_impl(audio, cfg: AudioConfig, interpret: bool, tb: int = 8,
             out_shape=out_shape,
             interpret=interpret,
             cost_estimate=cost_for(n_hops * hop * k * two_k),
-        )(
-            audio,
-            jnp.asarray(dft_blocks).astype(matmul_dtype),
-            jnp.asarray(mel),
-            jnp.asarray(dct),
-        )
+        )(audio, dft_ws[0], jnp.asarray(mel), jnp.asarray(dct))
     if pad:
         out = out[:batch]
     return out
+
+
+def mfcc_plan(cfg: AudioConfig, n: int, variant: str):
+    """Shared MFCC geometry + kernel constants for a clip length `n`.
+
+    Returns ((window, hop, fft_length, num_bins, k, n_hops, frames),
+    dft_ws [list of device arrays in matmul_dtype], mel, dct,
+    matmul_dtype, phase_plan|None). The ONE construction consumed by
+    both the fused-MFCC kernel (_fused_mfcc_impl) and the single-kernel
+    frontend (frontend._impl) — the two paths must never drift."""
+    window = cfg.window_size_samples
+    hop = cfg.window_stride_samples
+    fft_length = dsp.fft_length_for(window)
+    num_bins = fft_length // 2 + 1
+    k = window // hop
+    n_hops = n // hop
+    frames = n_hops - k + 1
+    mel = dsp.linear_to_mel_weight_matrix(
+        cfg.num_mel_bins, num_bins, cfg.sample_rate,
+        cfg.lower_edge_hertz, cfg.upper_edge_hertz,
+    )
+    dct = dsp.dct_ii_matrix(cfg.num_mel_bins, cfg.num_mfccs)
+    matmul_dtype = dsp.dsp_matmul_dtype(cfg)
+    if variant == "phases":
+        phase_plan = phase_dft_plan(window, hop, n, fft_length)
+        dft_ws = [
+            jnp.asarray(w).astype(matmul_dtype) for *_, w in phase_plan[4]
+        ]
+    else:
+        phase_plan = None
+        dft_ws = [
+            jnp.asarray(
+                dsp.dft_hop_blocks(window, hop, fft_length)
+            ).astype(matmul_dtype)
+        ]
+    geom = (window, hop, fft_length, num_bins, k, n_hops, frames)
+    return geom, dft_ws, mel, dct, matmul_dtype, phase_plan
 
 
 def resolve_dft_variant(cfg: AudioConfig, num_samples: int) -> str:
     """Resolve cfg.dft_variant ("auto" -> measured winner) with a
     geometry-availability fallback to "hops"."""
     variant = getattr(cfg, "dft_variant", "auto")
+    if variant not in ("auto", "hops", "phases"):
+        # an unknown string would otherwise silently select the hops
+        # path — the user benchmarks/trains the wrong kernel with no
+        # error (same policy as augment's method validation)
+        raise ValueError(
+            f"dft_variant must be 'auto', 'hops', or 'phases'; "
+            f"got {variant!r}"
+        )
     if variant == "auto":
         # measured on v5e: hops wins (1.0-1.19 vs a batch-flat 1.56
         # us/utt for phases — the per-phase matmuls are canonical but
@@ -366,6 +393,10 @@ def fused_mfcc(
     """
     if not fused_mfcc_available(cfg, audio.shape[-1]):
         return dsp.mfcc(audio, cfg)
+    if variant is not None and variant not in ("auto", "hops", "phases"):
+        raise ValueError(
+            f"variant must be 'auto', 'hops', or 'phases'; got {variant!r}"
+        )
     if variant is None or variant == "auto":
         variant = resolve_dft_variant(cfg, audio.shape[-1])
     elif variant == "phases" and not phase_dft_available(cfg, audio.shape[-1]):
