@@ -117,25 +117,44 @@ def build_layer_spec(
 # ---------------------------------------------------------------------------
 
 
-def _conv_step(x, w, b, k: int, stride: int, relu: bool):
-    """[TB, T, Cin] -> [TB, To, Cout]: TF-SAME k x 1 conv as k shifted
-    middle-dim slices, each MXU-matmul'd against its weight block."""
-    tb, t, ci = x.shape
-    co = w.shape[-1]
+def same_padded_input(x, k: int, stride: int):
+    """TF-SAME padded input for a k x 1 temporal conv: (xpad, to, span).
+
+    The ONE home of the TF-SAME pad geometry (lo = total // 2, right pad
+    covering span + k - 1) shared by the whole-model inference conv and
+    the tconv fwd/dw kernels (ops/pallas/tconv.py) — must never drift."""
+    t = x.shape[1]
     to = -(-t // stride)
     total = max((to - 1) * stride + k - t, 0)
     lo = total // 2
     span = stride * (to - 1) + 1
     xpad = jnp.pad(x, ((0, 0), (lo, max(span + k - 1 - t - lo, 0)), (0, 0)))
+    return xpad, to, span
+
+
+def tap_slice(xpad, j: int, span: int, stride: int):
+    """j-th stride-decimated tap slice of the SAME-padded input: rows
+    j, j+stride, ... via a middle-axis split reshape (the minor dim is
+    untouched — Mosaic-legal). Shared with ops/pallas/tconv.py."""
+    sl = jax.lax.slice_in_dim(xpad, j, j + span, axis=1)
+    if stride > 1:
+        tb, rows, c = sl.shape
+        pad_r = (-rows) % stride
+        if pad_r:
+            sl = jnp.pad(sl, ((0, 0), (0, pad_r), (0, 0)))
+        sl = sl.reshape(tb, -1, stride, c)[:, :, 0, :]
+    return sl
+
+
+def _conv_step(x, w, b, k: int, stride: int, relu: bool):
+    """[TB, T, Cin] -> [TB, To, Cout]: TF-SAME k x 1 conv as k shifted
+    middle-dim slices, each MXU-matmul'd against its weight block."""
+    tb, t, ci = x.shape
+    co = w.shape[-1]
+    xpad, to, span = same_padded_input(x, k, stride)
     acc = None
     for j in range(k):
-        sl = jax.lax.slice_in_dim(xpad, j, j + span, axis=1)
-        if stride > 1:
-            rows = sl.shape[1]
-            pad_r = (-rows) % stride
-            if pad_r:
-                sl = jnp.pad(sl, ((0, 0), (0, pad_r), (0, 0)))
-            sl = sl.reshape(tb, -1, stride, ci)[:, :, 0, :]
+        sl = tap_slice(xpad, j, span, stride)
         part = jnp.dot(
             sl.reshape(tb * to, ci),
             jax.lax.slice_in_dim(w, j * ci, (j + 1) * ci, axis=0),
@@ -228,28 +247,34 @@ def build_fused_infer(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from tcresnet_tpu.ops.pallas.mfcc import mfcc_plan
+
     n = audio_cfg.desired_samples
-    window = audio_cfg.window_size_samples
-    hop = audio_cfg.window_stride_samples
-    fft_length = dsp.fft_length_for(window)
-    num_bins = fft_length // 2 + 1
-    k_dft = window // hop
-    n_hops = n // hop
-    frames = n_hops - k_dft + 1
+    # shared geometry/constants with the MFCC/frontend kernels
+    # (mfcc.mfcc_plan — the paths must never drift). This kernel embeds
+    # the hops DFT tail: inference parity is defined against the XLA
+    # path (dsp.preprocess), which dft_variant never affects.
+    (window, hop, fft_length, num_bins, k_dft, n_hops, frames), dft_ws, \
+        mel, dct, matmul_dtype, _ = mfcc_plan(audio_cfg, n, "hops")
     two_k = 2 * num_bins
     num_mel = audio_cfg.num_mel_bins
     num_mfcc = audio_cfg.num_mfccs
     ncls = model_cfg.num_classes
 
-    matmul_dtype = dsp.dsp_matmul_dtype(audio_cfg)
-    dft_blocks = dsp.dft_hop_blocks(window, hop, fft_length)
-    mel = dsp.linear_to_mel_weight_matrix(
-        num_mel, num_bins, audio_cfg.sample_rate,
-        audio_cfg.lower_edge_hertz, audio_cfg.upper_edge_hertz,
-    )
-    dct = dsp.dct_ii_matrix(num_mel, num_mfcc)
-
     spec, fc = build_layer_spec(model_cfg, params, batch_stats)
+    # cost estimate for XLA's latency-hiding scheduler, like the sibling
+    # fused kernels: DFT + MFCC tail + the whole conv stack + fc
+    dft_flops = n_hops * hop * k_dft * two_k
+    tail_flops = frames * num_bins * num_mel + frames * num_mel * num_mfcc
+    conv_flops = 0
+    t_cur = frames
+    for e in spec:
+        t_out = -(-t_cur // e["stride"])
+        w_e, _ = e["wb"]
+        conv_flops += t_out * w_e.shape[0] * w_e.shape[1]
+        if e["role"] in ("conv0", "block0", "block1"):
+            t_cur = t_out
+    conv_flops += fc.shape[0] * fc.shape[1]
     spec_static = tuple((e["role"], e["k"], e["stride"], e["relu"]) for e in spec)
     weights = []
     for e in spec:
@@ -296,9 +321,14 @@ def build_fused_infer(
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((padded_b, ncls), jnp.float32),
             interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * padded_b * (dft_flops + tail_flops + conv_flops),
+                bytes_accessed=padded_b * (n + ncls) * 4,
+                transcendentals=padded_b * frames * num_mel,
+            ),
         )(
             hops3,
-            jnp.asarray(dft_blocks).astype(matmul_dtype),
+            dft_ws[0],
             jnp.asarray(mel),
             jnp.asarray(dct),
             *weights,

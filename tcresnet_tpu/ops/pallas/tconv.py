@@ -39,7 +39,11 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from tcresnet_tpu.ops.pallas.infer import _conv_step
+from tcresnet_tpu.ops.pallas.infer import (
+    _conv_step,
+    same_padded_input,
+    tap_slice,
+)
 
 _TB = 8
 
@@ -100,18 +104,13 @@ def _dw_kernel(x_ref, dy_ref, o_ref, *, k, stride):
     dy = dy_ref[:]
     tb, t, ci = x.shape
     to = dy.shape[1]
-    _, lo = _pad_cfg(t, k, stride)
-    span = stride * (to - 1) + 1
-    xpad = jnp.pad(x, ((0, 0), (lo, max(span + k - 1 - t - lo, 0)), (0, 0)))
+    # shared TF-SAME pad + tap-decimation geometry with the forward conv
+    # (infer.same_padded_input / tap_slice): dw MUST read exactly the
+    # input rows each forward tap consumed
+    xpad, _, span = same_padded_input(x, k, stride)
     parts = []
     for j in range(k):
-        sl = jax.lax.slice_in_dim(xpad, j, j + span, axis=1)
-        if stride > 1:
-            rows = sl.shape[1]
-            pad_r = (-rows) % stride
-            if pad_r:
-                sl = jnp.pad(sl, ((0, 0), (0, pad_r), (0, 0)))
-            sl = sl.reshape(tb, -1, stride, ci)[:, :, 0, :]
+        sl = tap_slice(xpad, j, span, stride)
         parts.append(
             jax.lax.dot_general(
                 sl.reshape(tb * to, ci),
@@ -173,6 +172,7 @@ def _fwd(x, w2, stride, tb, interpret):
     from jax.experimental.pallas import tpu as pltpu
 
     b, t, ci = x.shape
+    tb = min(tb, b)  # small batches don't pad up to a full default tile
     k = w2.shape[0] // ci
     co = w2.shape[1]
     to, _ = _pad_cfg(t, k, stride)
@@ -199,6 +199,7 @@ def _bwd_vjp(stride, tb, interpret, res, dy):
 
     x, w2 = res
     b, t, ci = x.shape
+    tb = min(tb, b)  # mirror _fwd's tile shrink for small batches
     k = w2.shape[0] // ci
     co = w2.shape[1]
     to, lo = _pad_cfg(t, k, stride)
