@@ -57,6 +57,19 @@ def num_frames_for(num_samples: int, window: int, hop: int) -> int:
     return 1 + (num_samples - window) // hop
 
 
+def feature_width(cfg: AudioConfig) -> int:
+    """Coefficient count per frame of the spectral front ends: num_mfccs
+    for MFCC, num_mel_bins for log-mel (the fused kernels share one tail
+    implementation parameterized by this width)."""
+    if cfg.preprocess_method == "mfcc":
+        return cfg.num_mfccs
+    if cfg.preprocess_method == "log_mel_spectrogram":
+        return cfg.num_mel_bins
+    raise ValueError(
+        f"no spectral feature width for {cfg.preprocess_method!r}"
+    )
+
+
 def feature_shape(cfg: AudioConfig) -> tuple:
     """(frames, coeffs, channels) of the front end's output for `cfg`.
 
@@ -303,7 +316,7 @@ def preprocess(audio: jnp.ndarray, cfg: AudioConfig, mesh=None) -> jnp.ndarray:
     The single entry point used by train, eval, and AOT serving alike
     (reference had divergent train/deploy paths; see module docstring).
     """
-    if cfg.preprocess_method == "mfcc":
+    if cfg.preprocess_method in ("mfcc", "log_mel_spectrogram"):
         backend = getattr(cfg, "dsp_backend", "xla")
         # "auto": the XLA framing path wins below ~2k rows but degrades
         # with batch (1.04 -> 1.56 us/utt from 1024 to 4096 on v5e: its
@@ -321,13 +334,16 @@ def preprocess(audio: jnp.ndarray, cfg: AudioConfig, mesh=None) -> jnp.ndarray:
                 else "xla"
             )
         if backend == "pallas" and audio.ndim == 2:
+            # one fused kernel serves both spectral features (the tail
+            # differs by magnitude-vs-power and the DCT matmul —
+            # ops/pallas/mfcc.mfcc_plan)
             from tcresnet_tpu.ops.pallas.mfcc import fused_mfcc
 
             feats = fused_mfcc(audio, cfg, mesh=mesh)
-        else:
+        elif cfg.preprocess_method == "mfcc":
             feats = mfcc(audio, cfg)
-    elif cfg.preprocess_method == "log_mel_spectrogram":
-        feats = log_mel_spectrogram(audio, cfg, magnitude_squared=False)
+        else:
+            feats = log_mel_spectrogram(audio, cfg, magnitude_squared=False)
     elif cfg.preprocess_method == "no_preprocessing":
         feats = audio[..., :, None]
     else:

@@ -116,6 +116,7 @@ def _kernel(
     num_bins: int,
     frames: int,
     matmul_dtype,
+    magnitude: bool = False,
     phase_plan=None,
 ):
     """Ref layout: 6 scalar-prefetch ([B] shift/srow/rem/vol/keep/idx),
@@ -155,7 +156,7 @@ def _kernel(
         out_ref[:] = mfcc_tail_phases(
             x3, [d[:] for d in dft_refs], mel_ref[:], dct_ref[:],
             plan=phase_plan, tb=_TB, num_bins=num_bins,
-            matmul_dtype=matmul_dtype,
+            matmul_dtype=matmul_dtype, magnitude=magnitude,
         )
         return
 
@@ -164,11 +165,11 @@ def _kernel(
     ]
     hops = jnp.concatenate(hops_rows, axis=0)  # [TB*n_hops, hop]
 
-    # --- shared MFCC matmul tail (ops/pallas/mfcc.mfcc_tail) ---
+    # --- shared MFCC/log-mel matmul tail (ops/pallas/mfcc.mfcc_tail) ---
     out_ref[:] = mfcc_tail(
         hops, dft_refs[0][:], mel_ref[:], dct_ref[:],
         tb=_TB, n_hops=n_hops, k=k, num_bins=num_bins,
-        frames=frames, matmul_dtype=matmul_dtype,
+        frames=frames, matmul_dtype=matmul_dtype, magnitude=magnitude,
     )
 
 
@@ -192,12 +193,16 @@ def _impl(wavs3d, idx, scalars, noise_bank, n, cfg, interpret, quantize_crops,
     scratch_rows = _next_pow2(max(win_rows, a_rows))
     rems, start_rows = crop_scalar_prep(offs, clips, stride, quantize_crops)
 
-    # MFCC geometry + constants: the SHARED construction with the fused
-    # MFCC kernel (mfcc.mfcc_plan) — the one-kernel and two-kernel paths
-    # must never drift
+    # MFCC/log-mel geometry + constants: the SHARED construction with the
+    # fused MFCC kernel (mfcc.mfcc_plan) — the one-kernel and two-kernel
+    # paths must never drift
+    from tcresnet_tpu.ops.dsp import feature_width
+
     (window, hop, fft_length, num_bins, k, n_hops, frames), dft_ws, mel, \
         dct, matmul_dtype, phase_plan = mfcc_plan(cfg, n, variant)
     two_k = 2 * num_bins
+    out_w = feature_width(cfg)
+    magnitude = cfg.preprocess_method == "log_mel_spectrogram"
 
     def const_spec(shape):
         return pl.BlockSpec(
@@ -212,10 +217,10 @@ def _impl(wavs3d, idx, scalars, noise_bank, n, cfg, interpret, quantize_crops,
         + [const_spec(w.shape) for w in dft_ws]
         + [
             const_spec((num_bins, cfg.num_mel_bins)),
-            const_spec((cfg.num_mel_bins, cfg.num_mfccs)),
+            const_spec(dct.shape),
         ],
         out_specs=pl.BlockSpec(
-            (_TB, frames, cfg.num_mfccs), lambda i, *_: (i, 0, 0),
+            (_TB, frames, out_w), lambda i, *_: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -234,11 +239,11 @@ def _impl(wavs3d, idx, scalars, noise_bank, n, cfg, interpret, quantize_crops,
     else:
         dft_flops = n_hops * hop * k * two_k
     tail_flops = (frames * num_bins * cfg.num_mel_bins
-                  + frames * cfg.num_mel_bins * cfg.num_mfccs)
+                  + frames * cfg.num_mel_bins * out_w)
     cost = pl.CostEstimate(
         flops=2 * padded_b * (dft_flops + tail_flops) + 8 * padded_b * p,
         bytes_accessed=padded_b * (
-            p * 2 + win_rows * _LANES * 4 + frames * cfg.num_mfccs * 4
+            p * 2 + win_rows * _LANES * 4 + frames * out_w * 4
         ),
         transcendentals=padded_b * frames * cfg.num_mel_bins,
     )
@@ -256,11 +261,12 @@ def _impl(wavs3d, idx, scalars, noise_bank, n, cfg, interpret, quantize_crops,
             num_bins=num_bins,
             frames=frames,
             matmul_dtype=matmul_dtype,
+            magnitude=magnitude,
             phase_plan=phase_plan,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (padded_b, frames, cfg.num_mfccs), jnp.float32
+            (padded_b, frames, out_w), jnp.float32
         ),
         interpret=interpret,
         cost_estimate=cost,
@@ -287,10 +293,10 @@ def frontend_fusable(
     noise_bank,
     n: int,
 ) -> bool:
-    """Whether the single-kernel gather+augment+MFCC path applies."""
+    """Whether the single-kernel gather+augment+features path applies
+    (MFCC or log-mel — fused_mfcc_available covers both tails)."""
     return (
         gather_fusable(wavs3d, aug_cfg, noise_bank, n)
-        and audio_cfg.preprocess_method == "mfcc"
         and fused_mfcc_available(audio_cfg, n)
         and n % _LANES == 0
     )

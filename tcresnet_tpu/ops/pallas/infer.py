@@ -48,7 +48,9 @@ _TC_CHANNELS = {
 
 
 def fused_infer_available(model_cfg: ModelConfig, audio_cfg: AudioConfig) -> bool:
-    """Whole-model kernel supports the temporal TC-ResNet family on MFCC."""
+    """Whole-model kernel supports the temporal TC-ResNet family on the
+    spectral front ends (MFCC and log-mel — the in-kernel tail handles
+    both, mfcc.mfcc_plan)."""
     from tcresnet_tpu.ops.pallas.mfcc import fused_mfcc_available
 
     return model_cfg.name in _TC_CHANNELS and fused_mfcc_available(audio_cfg)
@@ -175,6 +177,7 @@ def _kernel(
     num_bins: int,
     frames: int,
     matmul_dtype,
+    magnitude: bool = False,
 ):
     """Ref order: hops [TB, n_hops, hop], dft, mel, dct,
     (w, b) per conv in spec order, fc, out [TB, ncls]."""
@@ -194,7 +197,7 @@ def _kernel(
         hops_ref[:].reshape(tb * n_hops, hop),
         dft_ref[:], mel_ref[:], dct_ref[:],
         tb=tb, n_hops=n_hops, k=k_dft, num_bins=num_bins,
-        frames=frames, matmul_dtype=matmul_dtype,
+        frames=frames, matmul_dtype=matmul_dtype, magnitude=magnitude,
     )
 
     # ---- conv stack (tc_resnet.py:28-48, BN folded) ----
@@ -258,14 +261,15 @@ def build_fused_infer(
         mel, dct, matmul_dtype, _ = mfcc_plan(audio_cfg, n, "hops")
     two_k = 2 * num_bins
     num_mel = audio_cfg.num_mel_bins
-    num_mfcc = audio_cfg.num_mfccs
+    out_w = dsp.feature_width(audio_cfg)
+    magnitude = audio_cfg.preprocess_method == "log_mel_spectrogram"
     ncls = model_cfg.num_classes
 
     spec, fc = build_layer_spec(model_cfg, params, batch_stats)
     # cost estimate for XLA's latency-hiding scheduler, like the sibling
     # fused kernels: DFT + MFCC tail + the whole conv stack + fc
     dft_flops = n_hops * hop * k_dft * two_k
-    tail_flops = frames * num_bins * num_mel + frames * num_mel * num_mfcc
+    tail_flops = frames * num_bins * num_mel + frames * num_mel * out_w
     conv_flops = 0
     t_cur = frames
     for e in spec:
@@ -299,7 +303,7 @@ def build_fused_infer(
         kernel = functools.partial(
             _kernel, tb=tb_eff, spec_static=spec_static, n_hops=n_hops,
             hop=hop, k_dft=k_dft, num_bins=num_bins, frames=frames,
-            matmul_dtype=matmul_dtype,
+            matmul_dtype=matmul_dtype, magnitude=magnitude,
         )
 
         out = pl.pallas_call(
@@ -312,7 +316,7 @@ def build_fused_infer(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((num_bins, num_mel), const_map,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((num_mel, num_mfcc), const_map,
+                pl.BlockSpec(dct.shape, const_map,
                              memory_space=pltpu.VMEM),
             ]
             + weight_specs

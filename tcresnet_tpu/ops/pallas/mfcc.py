@@ -41,39 +41,54 @@ _LANES = 128
 
 
 def fused_mfcc_available(cfg: AudioConfig, num_samples: Optional[int] = None) -> bool:
-    """The kernel supports hop-decomposable geometry (both ref configs)."""
+    """The kernel supports hop-decomposable geometry (both ref configs)
+    for BOTH spectral features — the reference treats mfcc and log-mel
+    symmetrically (preprocessors.py:161-194); the kernel tail differs by
+    magnitude-vs-power and the DCT matmul (mfcc_plan)."""
     n = num_samples or cfg.desired_samples
     window, hop = cfg.window_size_samples, cfg.window_stride_samples
     return (
-        cfg.preprocess_method == "mfcc"
+        cfg.preprocess_method in ("mfcc", "log_mel_spectrogram")
         and window % hop == 0
         and n % hop == 0
         and n >= window
     )
 
 
-def mfcc_from_reim(reim, mel_w, dct_w, *, tb, frames, num_bins):
-    """[tb, frames, 2K] (Re|Im) spectra -> [tb, frames, n_mfccs].
+def mfcc_from_reim(reim, mel_w, dct_w, *, tb, frames, num_bins,
+                   magnitude=False):
+    """[tb, frames, 2K] (Re|Im) spectra -> [tb, frames, out_width].
 
-    The shared power -> mel -> log -> DCT tail of both DFT variants.
+    The shared spectrum -> mel -> log [-> DCT] tail of both DFT variants
+    and both features: MFCC uses the POWER spectrum + DCT
+    (preprocessors.py:183-194), log-mel the MAGNITUDE spectrum and NO
+    DCT (:161-170). For log-mel, `dct_w` is a dummy identity that keeps
+    one ref layout for every kernel but is NOT multiplied through — on
+    TPU an MXU matmul at default precision is bf16-pass arithmetic, and
+    an identity matmul would round log-scale values (|log(mel+1e-6)| up
+    to ~14) by ~1e-2 for nothing.
     Pure jnp on values — callable from inside any Pallas kernel body."""
     re = reim[:, :, :num_bins]
     im = reim[:, :, num_bins:]
-    power = re * re + im * im
+    spec = re * re + im * im
+    if magnitude:
+        spec = jnp.sqrt(spec)
 
     mel = jnp.dot(
-        power.reshape(tb * frames, num_bins),
+        spec.reshape(tb * frames, num_bins),
         mel_w,
         preferred_element_type=jnp.float32,
     )
     log_mel = jnp.log(mel + 1e-6)
-    mfcc = jnp.dot(log_mel, dct_w, preferred_element_type=jnp.float32)
-    return mfcc.reshape(tb, frames, -1)
+    if magnitude:
+        return log_mel.reshape(tb, frames, -1)
+    out = jnp.dot(log_mel, dct_w, preferred_element_type=jnp.float32)
+    return out.reshape(tb, frames, -1)
 
 
 def mfcc_tail(
     hops, dft, mel_w, dct_w, *, tb, n_hops, k, num_bins, frames,
-    matmul_dtype=jnp.float32,
+    matmul_dtype=jnp.float32, magnitude=False,
 ):
     """[tb*n_hops, hop] hop rows -> [tb, frames, n_mfccs] MFCCs.
 
@@ -95,7 +110,7 @@ def mfcc_tail(
         reim = reim + partial[:, j : j + frames, j * two_k : (j + 1) * two_k]
 
     return mfcc_from_reim(reim, mel_w, dct_w, tb=tb, frames=frames,
-                          num_bins=num_bins)
+                          num_bins=num_bins, magnitude=magnitude)
 
 
 @functools.lru_cache(maxsize=None)
@@ -161,7 +176,10 @@ def phase_dft_available(cfg: AudioConfig, num_samples: Optional[int] = None) -> 
     rules here would be double maintenance."""
     n = num_samples or cfg.desired_samples
     window, hop = cfg.window_size_samples, cfg.window_stride_samples
-    if cfg.preprocess_method != "mfcc" or n < window:
+    if (
+        cfg.preprocess_method not in ("mfcc", "log_mel_spectrogram")
+        or n < window
+    ):
         return False
     try:
         phase_dft_plan(window, hop, n, dsp.fft_length_for(window))
@@ -172,6 +190,7 @@ def phase_dft_available(cfg: AudioConfig, num_samples: Optional[int] = None) -> 
 
 def mfcc_tail_phases(
     x3, dft_ws, mel_w, dct_w, *, plan, tb, num_bins, matmul_dtype=jnp.float32,
+    magnitude=False,
 ):
     """[tb, R, 128] lane-major samples -> [tb, frames, n_mfccs] MFCCs.
 
@@ -201,10 +220,10 @@ def mfcc_tail_phases(
     reim = jnp.stack(outs, axis=2).reshape(tb, nsb * num_p, two_k)
     reim = reim[:, :frames]
     return mfcc_from_reim(reim, mel_w, dct_w, tb=tb, frames=frames,
-                          num_bins=num_bins)
+                          num_bins=num_bins, magnitude=magnitude)
 
 
-def _kernel(audio_ref, dft_ref, mel_ref, dct_ref, out_ref, *, n_hops, hop, k, num_bins, frames, matmul_dtype):
+def _kernel(audio_ref, dft_ref, mel_ref, dct_ref, out_ref, *, n_hops, hop, k, num_bins, frames, matmul_dtype, magnitude):
     # audio_ref: [TB, n_hops, hop] (hop reshape done outside the kernel —
     # Mosaic only supports leading-dim reshapes, minor dim must not change)
     tb = audio_ref.shape[0]
@@ -212,11 +231,11 @@ def _kernel(audio_ref, dft_ref, mel_ref, dct_ref, out_ref, *, n_hops, hop, k, nu
         audio_ref[:].reshape(tb * n_hops, hop),
         dft_ref[:], mel_ref[:], dct_ref[:],
         tb=tb, n_hops=n_hops, k=k, num_bins=num_bins,
-        frames=frames, matmul_dtype=matmul_dtype,
+        frames=frames, matmul_dtype=matmul_dtype, magnitude=magnitude,
     )
 
 
-def _kernel_phases(audio_ref, *refs, plan, num_bins, matmul_dtype):
+def _kernel_phases(audio_ref, *refs, plan, num_bins, matmul_dtype, magnitude):
     # audio_ref: [TB, R, 128] lane-major samples (reshape done outside)
     num_p = plan[0]
     dft_refs = refs[:num_p]
@@ -225,6 +244,7 @@ def _kernel_phases(audio_ref, *refs, plan, num_bins, matmul_dtype):
     out_ref[:] = mfcc_tail_phases(
         audio_ref[:], [r[:] for r in dft_refs], mel_ref[:], dct_ref[:],
         plan=plan, tb=tb, num_bins=num_bins, matmul_dtype=matmul_dtype,
+        magnitude=magnitude,
     )
 
 
@@ -234,24 +254,28 @@ def _fused_mfcc_impl(audio, cfg: AudioConfig, interpret: bool, tb: int = 8,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from tcresnet_tpu.ops.dsp import feature_width
+
     batch, n = audio.shape
     # shared geometry/constants construction (mfcc_plan): the fused
     # frontend consumes the same helper, so the two paths cannot drift
     (window, hop, fft_length, num_bins, k, n_hops, frames), dft_ws, mel, \
         dct, matmul_dtype, plan = mfcc_plan(cfg, n, variant)
     two_k = 2 * num_bins
+    out_w = feature_width(cfg)
+    magnitude = cfg.preprocess_method == "log_mel_spectrogram"
     pad = (-batch) % tb
     if pad:
         audio = jnp.pad(audio, ((0, pad), (0, 0)))
     padded = audio.shape[0]
 
     tail_flops = (frames * num_bins * cfg.num_mel_bins
-                  + frames * cfg.num_mel_bins * cfg.num_mfccs)
+                  + frames * cfg.num_mel_bins * out_w)
 
     def cost_for(dft_flops_per_row):
         return pl.CostEstimate(
             flops=2 * padded * (dft_flops_per_row + tail_flops),
-            bytes_accessed=padded * (n + frames * cfg.num_mfccs) * 4,
+            bytes_accessed=padded * (n + frames * out_w) * 4,
             transcendentals=padded * frames * cfg.num_mel_bins,
         )
 
@@ -259,16 +283,16 @@ def _fused_mfcc_impl(audio, cfg: AudioConfig, interpret: bool, tb: int = 8,
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
-        (tb, frames, cfg.num_mfccs), lambda i: (i, 0, 0),
+        (tb, frames, out_w), lambda i: (i, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    out_shape = jax.ShapeDtypeStruct((padded, frames, cfg.num_mfccs), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((padded, frames, out_w), jnp.float32)
 
     if variant == "phases":
         audio = audio.astype(jnp.float32).reshape(padded, n // _LANES, _LANES)
         kernel = functools.partial(
             _kernel_phases, plan=plan, num_bins=num_bins,
-            matmul_dtype=matmul_dtype,
+            matmul_dtype=matmul_dtype, magnitude=magnitude,
         )
         # per-phase canonical matmuls: [frames_p, rows_p*128] @ [., 2K]
         phases_flops = sum(
@@ -292,7 +316,7 @@ def _fused_mfcc_impl(audio, cfg: AudioConfig, interpret: bool, tb: int = 8,
         audio = audio.astype(jnp.float32).reshape(padded, n_hops, hop)
         kernel = functools.partial(
             _kernel, n_hops=n_hops, hop=hop, k=k, num_bins=num_bins,
-            frames=frames, matmul_dtype=matmul_dtype,
+            frames=frames, matmul_dtype=matmul_dtype, magnitude=magnitude,
         )
         out = pl.pallas_call(
             kernel,
@@ -321,7 +345,11 @@ def mfcc_plan(cfg: AudioConfig, n: int, variant: str):
     dft_ws [list of device arrays in matmul_dtype], mel, dct,
     matmul_dtype, phase_plan|None). The ONE construction consumed by
     both the fused-MFCC kernel (_fused_mfcc_impl) and the single-kernel
-    frontend (frontend._impl) — the two paths must never drift."""
+    frontend (frontend._impl) — the two paths must never drift.
+
+    For log-mel configs `dct` is the [M, M] identity (the tail keeps one
+    matmul/ref layout for every kernel; the magnitude-vs-power switch is
+    the static `magnitude` kwarg of the tail fns)."""
     window = cfg.window_size_samples
     hop = cfg.window_stride_samples
     fft_length = dsp.fft_length_for(window)
@@ -333,7 +361,10 @@ def mfcc_plan(cfg: AudioConfig, n: int, variant: str):
         cfg.num_mel_bins, num_bins, cfg.sample_rate,
         cfg.lower_edge_hertz, cfg.upper_edge_hertz,
     )
-    dct = dsp.dct_ii_matrix(cfg.num_mel_bins, cfg.num_mfccs)
+    if cfg.preprocess_method == "log_mel_spectrogram":
+        dct = np.eye(cfg.num_mel_bins, dtype=np.float32)
+    else:
+        dct = dsp.dct_ii_matrix(cfg.num_mel_bins, cfg.num_mfccs)
     matmul_dtype = dsp.dsp_matmul_dtype(cfg)
     if variant == "phases":
         phase_plan = phase_dft_plan(window, hop, n, fft_length)

@@ -28,7 +28,10 @@ def test_availability():
     assert fused_mfcc_available(CFG_4020)
     # non-divisible hop geometry unsupported
     assert not fused_mfcc_available(AudioConfig(window_size_ms=25.0))
-    assert not fused_mfcc_available(AudioConfig(preprocess_method="log_mel_spectrogram"))
+    # log-mel shares the kernel (magnitude tail + identity DCT); raw
+    # waveform passthrough does not
+    assert fused_mfcc_available(AudioConfig(preprocess_method="log_mel_spectrogram"))
+    assert not fused_mfcc_available(AudioConfig(preprocess_method="no_preprocessing"))
 
 
 def test_phase_plan_geometry():
@@ -72,6 +75,24 @@ def test_kernel_matches_xla_path_real_geometry(cfg, rng, variant):
     want = np.asarray(dsp.mfcc(audio, cfg))
     got = np.asarray(fused_mfcc(audio, cfg, interpret=True, variant=variant))
     assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("variant", ["hops", "phases"])
+def test_kernel_matches_xla_log_mel(rng, variant):
+    """Log-mel through the SAME fused kernel (magnitude spectrum, identity
+    DCT — mfcc_plan) must match dsp.log_mel_spectrogram; the reference
+    treats both features symmetrically (preprocessors.py:161-194)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        _small(CFG_3010), preprocess_method="log_mel_spectrogram"
+    )
+    n = cfg.desired_samples
+    audio = rng.uniform(-1, 1, size=(8, n)).astype(np.float32)
+    want = np.asarray(dsp.log_mel_spectrogram(audio, cfg, magnitude_squared=False))
+    got = np.asarray(fused_mfcc(audio, cfg, interpret=True, variant=variant))
+    assert got.shape == want.shape == (8, dsp.num_frames_for(n, 480, 160), 64)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 

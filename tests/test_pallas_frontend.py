@@ -58,11 +58,18 @@ def test_frontend_fusable_gates(rng):
     assert frontend_fusable(wavs3d, aug, cfg, noise, n)
     import dataclasses
 
-    # log-mel preprocess: not supported by the fused MFCC tail
-    assert not frontend_fusable(
+    # log-mel shares the fused tail (r4); raw waveform does not
+    assert frontend_fusable(
         wavs3d,
         aug,
         dataclasses.replace(cfg, preprocess_method="log_mel_spectrogram"),
+        noise,
+        n,
+    )
+    assert not frontend_fusable(
+        wavs3d,
+        aug,
+        dataclasses.replace(cfg, preprocess_method="no_preprocessing"),
         noise,
         n,
     )
@@ -137,6 +144,33 @@ def test_fused_frontend_real_geometry(rng):
     )
     want = np.asarray(fused_mfcc(wavs, cfg, interpret=True))
     assert got.shape == (8, 98, 40)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=0)
+
+
+def test_fused_frontend_log_mel(rng):
+    """Log-mel through the single-kernel front end == the two-kernel path
+    (same draws, magnitude tail + identity DCT)."""
+    import dataclasses
+
+    aug = AugmentConfig(background_frequency=0.8, background_max_volume=0.3)
+    n = 2560
+    wavs3d, idx, silent, noise = _dataset(rng, n, p=4096)
+    cfg = dataclasses.replace(
+        _audio_cfg(n), preprocess_method="log_mel_spectrogram"
+    )
+    assert frontend_fusable(wavs3d, aug, cfg, noise, n)
+
+    key = jax.random.key(21)
+    got = np.asarray(
+        fused_gather_augment_mfcc(
+            wavs3d, idx, silent, key, aug, cfg, noise, True, n, interpret=True
+        )
+    )
+    wavs = fused_gather_augment(
+        wavs3d, idx, silent, key, aug, noise, True, n, interpret=True
+    )
+    want = np.asarray(fused_mfcc(wavs, cfg, interpret=True))
+    assert got.shape == want.shape == (16, 14, 64)
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=0)
 
 

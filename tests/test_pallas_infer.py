@@ -14,8 +14,11 @@ from tcresnet_tpu.ops.pallas.infer import (
 )
 
 
-def _setup(model_name, rng, n=2560, ncls=12, wm=1.0):
-    audio_cfg = AudioConfig(clip_duration_ms=n // 16, num_mfccs=20, num_mel_bins=32)
+def _setup(model_name, rng, n=2560, ncls=12, wm=1.0, preprocess="mfcc"):
+    audio_cfg = AudioConfig(
+        clip_duration_ms=n // 16, num_mfccs=20, num_mel_bins=32,
+        preprocess_method=preprocess,
+    )
     model_cfg = ModelConfig(name=model_name, num_classes=ncls, width_multiplier=wm)
     assert fused_infer_available(model_cfg, audio_cfg)
     feat_shape = dsp.feature_shape(audio_cfg)
@@ -49,6 +52,25 @@ def test_fused_infer_matches_xla_path(rng, name, wm):
     """wav->logits in ONE kernel must match preprocess+model.apply; softmax
     agreement within the BASELINE.md 1e-5 AOT-parity gate."""
     model_cfg, audio_cfg, model, params, stats, wavs = _setup(name, rng, wm=wm)
+    infer = build_fused_infer(
+        model_cfg, audio_cfg, params, stats, tb=4, interpret=True
+    )
+    got = np.asarray(infer(wavs))
+    want = _xla_infer(model, params, stats, audio_cfg, wavs)
+    assert got.shape == want.shape == (5, 12)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-4)
+    sm_got = jax.nn.softmax(jnp.asarray(got), axis=-1)
+    sm_want = jax.nn.softmax(jnp.asarray(want), axis=-1)
+    np.testing.assert_allclose(np.asarray(sm_got), np.asarray(sm_want), atol=1e-5)
+
+
+def test_fused_infer_log_mel(rng):
+    """Log-mel front end through the whole-model kernel (magnitude tail +
+    identity DCT) must match preprocess+model.apply (r4: the one
+    reference capability that previously lived only in the slow path)."""
+    model_cfg, audio_cfg, model, params, stats, wavs = _setup(
+        "TCResNet8", rng, preprocess="log_mel_spectrogram"
+    )
     infer = build_fused_infer(
         model_cfg, audio_cfg, params, stats, tb=4, interpret=True
     )
@@ -99,13 +121,14 @@ def test_build_inference_fn_fused_backend(rng):
 
     import dataclasses
 
-    # every model family has a fused kernel now (infer.py + infer2d.py),
-    # so the unsupported case is a non-MFCC front end — availability is
-    # checked before params are touched
+    # every model family has a fused kernel now (infer.py + infer2d.py)
+    # and both spectral front ends fuse (log-mel since r4), so the
+    # unsupported cases are feats-only export and a raw-waveform front
+    # end — availability is checked before params are touched
     bad = dataclasses.replace(
         cfg,
         audio=dataclasses.replace(
-            audio_cfg, preprocess_method="log_mel_spectrogram"
+            audio_cfg, preprocess_method="no_preprocessing"
         ),
     )
     with pytest.raises(ValueError):

@@ -78,6 +78,11 @@ def main(argv=None):
             "input": "x".join(map(str, in_shape)),
             "device_avg_us": round(dev["avg"], 2),
             "device_spread_us": [round(dev["min"], 2), round(dev["max"], 2)],
+            # adaptive-repeat protocol (serve/benchmark.py): how many
+            # diff samples the row rests on and whether the trimmed
+            # spread converged to within ±25% of the median
+            "device_repeats": int(dev["repeats"]),
+            "device_converged": bool(dev["converged"]),
         }
         from tcresnet_tpu.ops.pallas.infer import fused_infer_available
         from tcresnet_tpu.ops.pallas.infer2d import fused_infer2d_available
@@ -100,6 +105,8 @@ def main(argv=None):
             row["fused_kernel_spread_us"] = [
                 round(fdev["min"], 2), round(fdev["max"], 2)
             ]
+            row["fused_repeats"] = int(fdev["repeats"])
+            row["fused_converged"] = bool(fdev["converged"])
         rows.append(row)
         print(json.dumps(row), flush=True)
 
