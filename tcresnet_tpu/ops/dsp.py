@@ -132,6 +132,155 @@ def dft_hop_blocks(window: int, hop: int, fft_length: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def radix4_dft_matrices(fft_length: int):
+    """Stage-2 matrices (M0, M1, M2) of the radix-4 DIF factored rDFT.
+
+    Cooley-Tukey decimation-in-frequency with N = fft_length, L = N/4:
+    split n = L*n1 + n2 (four CONTIGUOUS blocks b_n1 — on TPU these are
+    lane-tile-aligned slices when L % 128 == 0), k = k1 + 4*k2. The
+    4-point butterfly over n1 is pure adds (VPU):
+
+        u0 = b0+b1+b2+b3            (real,  k1=0)
+        u1 = (b0-b2) + i(b3-b1)     (complex, k1=1; k1=3 is conj(u1))
+        u2 = b0-b1+b2-b3            (real,  k1=2)
+
+    and the per-branch twiddle e^{-2pi i n2 k1 / N} is FOLDED into the
+    stage-2 DFT-L matrices, so X[k1+4k2] = sum_n2 u_k1[n2] *
+    e^{-2pi i n2 (4k2+k1) / N} becomes three matmuls:
+
+        out0 = u0 @ M0 [L, 2L]   (columns: Re(k2=0..L/2) | Im, rest 0)
+        out1 = [u1re | u1im] @ M1 [2L, 2L]  (all k2: upper half carries
+                the k1=3 bins via X[N-k] = conj(X[k]))
+        out2 = u2 @ M2 [L, 2L]   (k2 < L/2, rest 0)
+
+    MXU cost for the 30/10 ms config (N=512, L=128): 8 K-by-N 128-chunk
+    passes vs the dense windowed-DFT matmul's 20 — 2.5x fewer MACs. The
+    output bins land PERMUTED across branches; the permutation is folded
+    into the mel matrix rows (radix4_mel_matrix), never materialized.
+
+    Parity vs the dense matrix path is reassociation-level (~1e-4 atol
+    on features): identical math, different add order.
+    """
+    length = fft_length // 4
+    n2 = np.arange(length, dtype=np.float64)[:, None]
+    j = np.arange(length, dtype=np.float64)[None, :]
+
+    def cos_sin(k1: float):
+        theta = 2.0 * np.pi * n2 * (4.0 * j + k1) / fft_length
+        return np.cos(theta), np.sin(theta)
+
+    c0, s0 = cos_sin(0.0)
+    c1, s1 = cos_sin(1.0)
+    c2, s2 = cos_sin(2.0)
+    keep0 = (np.arange(length) <= length // 2)[None, :]
+    keep2 = (np.arange(length) < length // 2)[None, :]
+    m0 = np.concatenate([c0 * keep0, -s0 * keep0], axis=1)
+    m1 = np.block([[c1, -s1], [s1, c1]])
+    m2 = np.concatenate([c2 * keep2, -s2 * keep2], axis=1)
+    return (m0.astype(np.float32), m1.astype(np.float32),
+            m2.astype(np.float32))
+
+
+@functools.lru_cache(maxsize=None)
+def radix4_bin_map(fft_length: int) -> np.ndarray:
+    """[3L] FFT-bin index of each permuted radix-4 power row (-1 = dead).
+
+    Rows [0,L) = branch k1=0 (bin 4*r, valid r <= L/2); rows [L,2L) =
+    branch k1=1 for k2 < ~L/2 and the k1=3 bins via conjugate symmetry
+    (bin N - (1+4*k2)) above; rows [2L,3L) = branch k1=2 (k2 < L/2).
+    Every bin 0..N/2 appears exactly once.
+    """
+    length = fft_length // 4
+    half = fft_length // 2
+    bins = np.full(3 * length, -1, np.int64)
+    for r in range(length // 2 + 1):
+        bins[r] = 4 * r
+    for j in range(length):
+        k = 1 + 4 * j
+        bins[length + j] = k if k <= half else fft_length - k
+    for j in range(length // 2):
+        bins[2 * length + j] = 2 + 4 * j
+    used = bins[bins >= 0]
+    assert len(used) == half + 1 and len(set(used.tolist())) == half + 1
+    return bins
+
+
+@functools.lru_cache(maxsize=None)
+def radix4_mel_matrix(
+    num_mel_bins: int,
+    fft_length: int,
+    sample_rate: int,
+    lower_edge_hertz: float,
+    upper_edge_hertz: float,
+) -> np.ndarray:
+    """[3L, M] mel filterbank with rows permuted to the radix-4 power
+    layout (dead rows zero) — the branch->bin permutation rides the mel
+    matmul for free instead of a lane interleave."""
+    mel = linear_to_mel_weight_matrix(
+        num_mel_bins, fft_length // 2 + 1, sample_rate,
+        lower_edge_hertz, upper_edge_hertz,
+    )
+    bins = radix4_bin_map(fft_length)
+    out = np.zeros((bins.shape[0], num_mel_bins), np.float32)
+    valid = bins >= 0
+    out[valid] = mel[bins[valid]]
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def radix4_window(window_size: int, fft_length: int) -> np.ndarray:
+    """[fft_length] periodic Hann zero-padded to the FFT length (the
+    explicit window multiply the factored path needs — the dense path
+    folds the window into its DFT matrix instead)."""
+    out = np.zeros(fft_length, np.float32)
+    out[:window_size] = hann_window(window_size)
+    return out
+
+
+def radix4_butterfly(fr: jnp.ndarray, fft_length: int):
+    """[..., fft] WINDOWED frames -> (u0, u1, u2) radix-4 DIF butterfly.
+
+    u1 is [..., 2L] (re | im). Pure adds on lane-tile-aligned slices;
+    shared by the XLA path and the Pallas kernel tails (slicing instead
+    of a minor-dim reshape keeps it Mosaic-legal).
+    """
+    length = fft_length // 4
+    b0 = fr[..., 0:length]
+    b1 = fr[..., length:2 * length]
+    b2 = fr[..., 2 * length:3 * length]
+    b3 = fr[..., 3 * length:4 * length]
+    u0 = b0 + b1 + b2 + b3
+    u1 = jnp.concatenate([b0 - b2, b3 - b1], axis=-1)
+    u2 = b0 - b1 + b2 - b3
+    return u0, u1, u2
+
+
+def _power_radix4(
+    audio: jnp.ndarray, window: int, hop: int, matmul_dtype=jnp.float32
+) -> jnp.ndarray:
+    """[..., N] -> [..., F, 3L] branch-permuted power spectrum via the
+    radix-4 factored rDFT (see radix4_dft_matrices)."""
+    fft_length = fft_length_for(window)
+    length = fft_length // 4
+    frames = frame_signal(audio.astype(jnp.float32), window, hop)
+    fr = frames * jnp.asarray(hann_window(window))
+    pad = [(0, 0)] * (fr.ndim - 1) + [(0, fft_length - window)]
+    fr = jnp.pad(fr, pad).astype(matmul_dtype)
+    u0, u1, u2 = radix4_butterfly(fr, fft_length)
+    mats = [
+        jnp.asarray(m).astype(matmul_dtype)
+        for m in radix4_dft_matrices(fft_length)
+    ]
+    outs = [
+        jnp.einsum("...l,lk->...k", u, m, preferred_element_type=jnp.float32)
+        for u, m in zip((u0, u1, u2), mats)
+    ]
+    return jnp.concatenate(
+        [o[..., :length] ** 2 + o[..., length:] ** 2 for o in outs], axis=-1
+    )
+
+
+@functools.lru_cache(maxsize=None)
 def linear_to_mel_weight_matrix(
     num_mel_bins: int,
     num_spectrogram_bins: int,
@@ -279,21 +428,40 @@ def spectrogram(
 def log_mel_spectrogram(
     audio: jnp.ndarray, cfg: AudioConfig, magnitude_squared: bool
 ) -> jnp.ndarray:
-    """[..., N] -> [..., F, M] log-mel features (preprocessors.py:64-96)."""
+    """[..., N] -> [..., F, M] log-mel features (preprocessors.py:64-96).
+
+    cfg.dft_variant == "radix4" routes the XLA path through the factored
+    rDFT (radix4_dft_matrices): same math to reassociation level (~1e-4
+    on features), ~2.5x fewer DFT MACs; the branch permutation is folded
+    into the mel matrix so the downstream tail is unchanged.
+    """
     window = cfg.window_size_samples
     hop = cfg.window_stride_samples
-    spec = spectrogram(
-        audio, window, hop, magnitude_squared, dsp_matmul_dtype(cfg)
-    )
-    mel_w = jnp.asarray(
-        linear_to_mel_weight_matrix(
-            cfg.num_mel_bins,
-            fft_length_for(window) // 2 + 1,
-            cfg.sample_rate,
-            cfg.lower_edge_hertz,
-            cfg.upper_edge_hertz,
+    if getattr(cfg, "dft_variant", "auto") == "radix4":
+        power = _power_radix4(audio, window, hop, dsp_matmul_dtype(cfg))
+        spec = power if magnitude_squared else jnp.sqrt(power)
+        mel_w = jnp.asarray(
+            radix4_mel_matrix(
+                cfg.num_mel_bins,
+                fft_length_for(window),
+                cfg.sample_rate,
+                cfg.lower_edge_hertz,
+                cfg.upper_edge_hertz,
+            )
         )
-    )
+    else:
+        spec = spectrogram(
+            audio, window, hop, magnitude_squared, dsp_matmul_dtype(cfg)
+        )
+        mel_w = jnp.asarray(
+            linear_to_mel_weight_matrix(
+                cfg.num_mel_bins,
+                fft_length_for(window) // 2 + 1,
+                cfg.sample_rate,
+                cfg.lower_edge_hertz,
+                cfg.upper_edge_hertz,
+            )
+        )
     mel = jnp.einsum("...fk,km->...fm", spec, mel_w, preferred_element_type=jnp.float32)
     return jnp.log(mel + 1e-6)
 

@@ -67,6 +67,7 @@ from tcresnet_tpu.ops.pallas.mfcc import (
     mfcc_plan,
     mfcc_tail,
     mfcc_tail_phases,
+    mfcc_tail_radix4,
     resolve_dft_variant,
 )
 
@@ -118,15 +119,23 @@ def _kernel(
     matmul_dtype,
     magnitude: bool = False,
     phase_plan=None,
+    variant: str = "hops",
+    fft_length: int = 0,
 ):
     """Ref layout: 6 scalar-prefetch ([B] shift/srow/rem/vol/keep/idx),
     TB index-mapped wav blocks [1, A, 128] int16, noise bank (ANY),
-    DFT matrices (1 for the hops variant, P for phases), mel [K, M],
-    dct [M, C], out [TB, frames, C], TB crop scratches + DMA sem [TB]."""
+    DFT matrices (1 for the hops variant, P for phases, 4 for radix4:
+    M0/M1/M2 + window), mel [K, M], dct [M, C], out [TB, frames, C],
+    TB crop scratches + DMA sem [TB]."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    num_dft = 1 if phase_plan is None else phase_plan[0]
+    if variant == "phases":
+        num_dft = phase_plan[0]
+    elif variant == "radix4":
+        num_dft = 3 + fft_length // _LANES  # M0/M1/M2 + window chunks
+    else:
+        num_dft = 1
     shift_ref, srow_ref, rem_ref, vol_ref, keep_ref, _idx_ref = refs[:6]
     wav_refs = refs[6 : 6 + _TB]
     noise_ref = refs[6 + _TB]
@@ -157,6 +166,18 @@ def _kernel(
             x3, [d[:] for d in dft_refs], mel_ref[:], dct_ref[:],
             plan=phase_plan, tb=_TB, num_bins=num_bins,
             matmul_dtype=matmul_dtype, magnitude=magnitude,
+        )
+        return
+
+    if variant == "radix4":
+        # --- factored-DFT tail (ops/pallas/mfcc.mfcc_tail_radix4):
+        # consumes the lane-major layout directly, like phases ---
+        x3 = jnp.concatenate(aug_rows, axis=0)  # [TB, n_rows, 128]
+        out_ref[:] = mfcc_tail_radix4(
+            x3, dft_refs[0][:], dft_refs[1][:], dft_refs[2][:],
+            [w[:] for w in dft_refs[3:]], mel_ref[:], dct_ref[:],
+            tb=_TB, hop=hop, fft_length=fft_length,
+            frames=frames, matmul_dtype=matmul_dtype, magnitude=magnitude,
         )
         return
 
@@ -216,7 +237,7 @@ def _impl(wavs3d, idx, scalars, noise_bank, n, cfg, interpret, quantize_crops,
         + [pl.BlockSpec(memory_space=pl.ANY)]
         + [const_spec(w.shape) for w in dft_ws]
         + [
-            const_spec((num_bins, cfg.num_mel_bins)),
+            const_spec(mel.shape),
             const_spec(dct.shape),
         ],
         out_specs=pl.BlockSpec(
@@ -236,6 +257,9 @@ def _impl(wavs3d, idx, scalars, noise_bank, n, cfg, interpret, quantize_crops,
         dft_flops = sum(
             f_p * r_p * _LANES * two_k for _, r_p, f_p, _ in phase_plan[4]
         )
+    elif variant == "radix4":
+        length = fft_length // 4
+        dft_flops = frames * 8 * length * length
     else:
         dft_flops = n_hops * hop * k * two_k
     tail_flops = (frames * num_bins * cfg.num_mel_bins
@@ -263,6 +287,8 @@ def _impl(wavs3d, idx, scalars, noise_bank, n, cfg, interpret, quantize_crops,
             matmul_dtype=matmul_dtype,
             magnitude=magnitude,
             phase_plan=phase_plan,
+            variant=variant,
+            fft_length=fft_length,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(

@@ -55,27 +55,23 @@ def fused_mfcc_available(cfg: AudioConfig, num_samples: Optional[int] = None) ->
     )
 
 
-def mfcc_from_reim(reim, mel_w, dct_w, *, tb, frames, num_bins,
-                   magnitude=False):
-    """[tb, frames, 2K] (Re|Im) spectra -> [tb, frames, out_width].
+def mel_log_dct(power, mel_w, dct_w, *, tb, frames, magnitude=False):
+    """[tb, frames, K] POWER rows -> [tb, frames, out_width].
 
-    The shared spectrum -> mel -> log [-> DCT] tail of both DFT variants
-    and both features: MFCC uses the POWER spectrum + DCT
+    The shared power -> (sqrt) -> mel -> log [-> DCT] epilogue of every
+    DFT variant and both features: MFCC uses the POWER spectrum + DCT
     (preprocessors.py:183-194), log-mel the MAGNITUDE spectrum and NO
-    DCT (:161-170). For log-mel, `dct_w` is a dummy identity that keeps
-    one ref layout for every kernel but is NOT multiplied through — on
-    TPU an MXU matmul at default precision is bf16-pass arithmetic, and
-    an identity matmul would round log-scale values (|log(mel+1e-6)| up
-    to ~14) by ~1e-2 for nothing.
+    DCT (:161-170). K is whatever row layout `mel_w` expects (the
+    radix-4 variant feeds branch-permuted power with a row-permuted mel
+    matrix). For log-mel, `dct_w` is a dummy identity that keeps one ref
+    layout for every kernel but is NOT multiplied through — on TPU an
+    MXU matmul at default precision is bf16-pass arithmetic, and an
+    identity matmul would round log-scale values (|log(mel+1e-6)| up to
+    ~14) by ~1e-2 for nothing.
     Pure jnp on values — callable from inside any Pallas kernel body."""
-    re = reim[:, :, :num_bins]
-    im = reim[:, :, num_bins:]
-    spec = re * re + im * im
-    if magnitude:
-        spec = jnp.sqrt(spec)
-
+    spec = jnp.sqrt(power) if magnitude else power
     mel = jnp.dot(
-        spec.reshape(tb * frames, num_bins),
+        spec.reshape(tb * frames, power.shape[-1]),
         mel_w,
         preferred_element_type=jnp.float32,
     )
@@ -84,6 +80,16 @@ def mfcc_from_reim(reim, mel_w, dct_w, *, tb, frames, num_bins,
         return log_mel.reshape(tb, frames, -1)
     out = jnp.dot(log_mel, dct_w, preferred_element_type=jnp.float32)
     return out.reshape(tb, frames, -1)
+
+
+def mfcc_from_reim(reim, mel_w, dct_w, *, tb, frames, num_bins,
+                   magnitude=False):
+    """[tb, frames, 2K] (Re|Im) spectra -> [tb, frames, out_width]
+    (see mel_log_dct). Pure jnp on values."""
+    re = reim[:, :, :num_bins]
+    im = reim[:, :, num_bins:]
+    return mel_log_dct(re * re + im * im, mel_w, dct_w, tb=tb,
+                       frames=frames, magnitude=magnitude)
 
 
 def mfcc_tail(
@@ -111,6 +117,158 @@ def mfcc_tail(
 
     return mfcc_from_reim(reim, mel_w, dct_w, tb=tb, frames=frames,
                           num_bins=num_bins, magnitude=magnitude)
+
+
+def _strided_rows_128(x2, stride: int, offset: int, frames: int):
+    """[R, 128] lane-major samples -> [frames, 128] rows, row f holding
+    positions [offset + stride*f, offset + stride*f + 128).
+
+    Mosaic-legal assembly (the ONLY pattern the hardware compiler
+    accepts for this re-framing — minor concats at non-tile offsets,
+    pads, rolls, and dynamic_update_slice are all unimplemented, probed
+    on v5e in tools/probe_mosaic_assembly.py): 3D slice -> leading 2D
+    reshape -> narrow minor concat, vectorized over lcm(stride, 128)
+    superblocks with a leading-SHIFTED blocks view for segs that cross
+    a superblock boundary (leading slices keep tile offsets at 0).
+    Frames past the superblock bulk are assembled one by one; their
+    reads are CLAMPED to the buffer (the substituted samples are always
+    in the Hann window's zero tail, so the caller's window multiply
+    erases them). The per-frame path is INTERPRET-ONLY: with a leading
+    dim of 1 the sliced segs keep their source sublane offsets and the
+    minor concat is Mosaic-illegal on hardware ("result/input offset
+    mismatch on non-concat dimension", probed v5e) — hardware callers
+    must append zero rows so the bulk covers every frame
+    (mfcc_tail_radix4 does).
+    """
+    rows, lanes = x2.shape
+    assert lanes == _LANES
+    per = (stride * lanes) // math.gcd(stride, lanes)  # lcm
+    rpp = per // lanes
+    orp = per // stride
+    nb = rows // rpp
+    out = []
+
+    def segs_for(pos: int, end: int, cur, nxt, base_rows: int):
+        segs = []
+        while pos < end:
+            ir, lane = pos // lanes, pos % lanes
+            width = min(lanes - lane, end - pos)
+            if ir >= base_rows + (rpp if nxt is not None else 0):
+                # beyond the buffer: any in-bounds garbage — these
+                # positions sit in the window's zero tail
+                ir, lane = base_rows - 1, 0
+                src = cur
+            elif nxt is not None and ir >= rpp:
+                src, ir = nxt, ir - rpp
+            else:
+                src = cur
+            seg = src[:, ir : ir + 1, lane : lane + width]
+            segs.append(seg.reshape(seg.shape[0], width))
+            pos += width
+        return jnp.concatenate(segs, axis=-1) if len(segs) > 1 else segs[0]
+
+    bulk = min(frames, max(nb - 1, 0) * orp)
+    if bulk:
+        blocks = x2[: nb * rpp].reshape(nb, rpp, lanes)
+        cur, nxt = blocks[:-1], blocks[1:]
+        res = []
+        for r in range(orp):
+            row = segs_for(offset + stride * r, offset + stride * r + lanes,
+                           cur, nxt, rpp)
+            res.append(row.reshape(nb - 1, 1, lanes))
+        out.append(
+            jnp.concatenate(res, axis=1).reshape((nb - 1) * orp, lanes)[:bulk]
+        )
+    if bulk < frames:
+        x3 = x2.reshape(1, rows, lanes)
+        for f in range(bulk, frames):
+            pos = offset + stride * f
+            row = segs_for(pos, pos + lanes, x3, None, rows)
+            out.append(row.reshape(1, lanes))
+    return jnp.concatenate(out, axis=0) if len(out) > 1 else out[0]
+
+
+def mfcc_tail_radix4(
+    x3, m0, m1, m2, wins, mel_w, dct_w, *, tb, hop, fft_length, frames,
+    matmul_dtype=jnp.float32, magnitude=False,
+):
+    """[tb, R, 128] lane-major samples -> [tb, frames, out] features via
+    the radix-4 factored rDFT (dsp.radix4_dft_matrices: ~1.9x fewer DFT
+    MACs than the dense hop-blocked matmul — measured DFT-bound in the
+    kernel, docs/ROUND4_NOTES.md).
+
+    The fft-length frame is NEVER materialized (minor concats at hop
+    boundaries are Mosaic-illegal): the four L-wide butterfly blocks are
+    assembled directly as [frames, 128] strided rows
+    (_strided_rows_128), window-multiplied per block, butterflied with
+    VPU adds, and pushed through the three stage-2 matmuls; the
+    branch-permuted power then feeds the row-permuted mel matrix
+    (dsp.radix4_mel_matrix), so the bin interleave rides the mel matmul.
+    `wins` is the Hann window as fft/128 SEPARATE [1, 128] chunks — a
+    lane slice of one [1, fft] window has a vreg-offset layout Mosaic
+    cannot broadcast ("Invalid input layout"), whole small refs are
+    canonical. Pure jnp on values — callable from inside any Pallas
+    kernel body."""
+    length = fft_length // 4
+    tb_, rows, lanes = x3.shape
+    assert tb_ == tb and length % lanes == 0
+    assert len(wins) == fft_length // lanes
+    # Append zero rows until _strided_rows_128's SUPERBLOCK BULK covers
+    # every frame: its per-frame tail path is Mosaic-illegal on hardware
+    # (see its docstring). Middle-axis concat of zeros is legal; the
+    # appended samples sit past the last frame's window tail (or under
+    # Hann zeros), so values are unchanged.
+    per = (hop * lanes) // math.gcd(hop, lanes)
+    rpp, orp = per // lanes, per // hop
+    need = (-(-frames // orp) + 1) * rpp
+    if rows < need:
+        x3 = jnp.concatenate(
+            [x3, jnp.zeros((tb, need - rows, lanes), x3.dtype)], axis=1
+        )
+    bs = []
+    for i in range(4):
+        subs = []
+        for j in range(length // lanes):
+            off = length * i + lanes * j
+            per_t = [
+                _strided_rows_128(x3[t], hop, off, frames) for t in range(tb)
+            ]
+            sub = jnp.concatenate(per_t, axis=0) if tb > 1 else per_t[0]
+            subs.append(sub * wins[off // lanes])
+        b = jnp.concatenate(subs, axis=-1) if len(subs) > 1 else subs[0]
+        bs.append(b.astype(matmul_dtype))
+    b0, b1, b2, b3 = bs
+    u0 = b0 + b1 + b2 + b3
+    u1 = jnp.concatenate([b0 - b2, b3 - b1], axis=-1)
+    u2 = b0 - b1 + b2 - b3
+    outs = [
+        jnp.dot(u, m, preferred_element_type=jnp.float32)
+        for u, m in ((u0, m0), (u1, m1), (u2, m2))
+    ]
+    power = jnp.concatenate(
+        [o[:, :length] ** 2 + o[:, length:] ** 2 for o in outs], axis=-1
+    )
+    # rows are per-utterance contiguous: [tb*frames, 3L] -> [tb, frames, 3L]
+    return mel_log_dct(
+        power.reshape(tb, frames, 3 * length), mel_w, dct_w,
+        tb=tb, frames=frames, magnitude=magnitude,
+    )
+
+
+def radix4_kernel_available(
+    cfg: AudioConfig, num_samples: Optional[int] = None
+) -> bool:
+    """The in-kernel radix-4 tail needs lane-tile-aligned butterfly
+    blocks — fft/4 % 128 == 0 (true for both reference windows: 480 ->
+    512 -> L=128; 640 -> 1024 -> L=256) — and a whole number of
+    lane-major [R, 128] sample rows (n % 128 == 0)."""
+    n = num_samples or cfg.desired_samples
+    fft_length = dsp.fft_length_for(cfg.window_size_samples)
+    return (
+        fft_length % 4 == 0
+        and (fft_length // 4) % _LANES == 0
+        and n % _LANES == 0
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -235,6 +393,22 @@ def _kernel(audio_ref, dft_ref, mel_ref, dct_ref, out_ref, *, n_hops, hop, k, nu
     )
 
 
+def _kernel_radix4(
+    audio_ref, m0_ref, m1_ref, m2_ref, *refs,
+    hop, fft_length, frames, matmul_dtype, magnitude,
+):
+    # audio_ref: [TB, R, 128] lane-major (reshape done outside, like
+    # the phases variant); refs = fft/128 window chunks + mel + dct + out
+    win_refs = refs[: fft_length // _LANES]
+    mel_ref, dct_ref, out_ref = refs[fft_length // _LANES :]
+    out_ref[:] = mfcc_tail_radix4(
+        audio_ref[:], m0_ref[:], m1_ref[:], m2_ref[:],
+        [w[:] for w in win_refs], mel_ref[:], dct_ref[:],
+        tb=audio_ref.shape[0], hop=hop, fft_length=fft_length,
+        frames=frames, matmul_dtype=matmul_dtype, magnitude=magnitude,
+    )
+
+
 def _kernel_phases(audio_ref, *refs, plan, num_bins, matmul_dtype, magnitude):
     # audio_ref: [TB, R, 128] lane-major samples (reshape done outside)
     num_p = plan[0]
@@ -288,7 +462,33 @@ def _fused_mfcc_impl(audio, cfg: AudioConfig, interpret: bool, tb: int = 8,
     )
     out_shape = jax.ShapeDtypeStruct((padded, frames, out_w), jnp.float32)
 
-    if variant == "phases":
+    if variant == "radix4":
+        audio = audio.astype(jnp.float32).reshape(padded, n // _LANES, _LANES)
+        kernel = functools.partial(
+            _kernel_radix4, hop=hop,
+            fft_length=fft_length, frames=frames,
+            matmul_dtype=matmul_dtype, magnitude=magnitude,
+        )
+        length = fft_length // 4
+        radix4_flops = frames * (
+            length * 2 * length + 2 * length * 2 * length
+            + length * 2 * length
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(padded // tb,),
+            in_specs=[
+                pl.BlockSpec((tb, n // _LANES, _LANES), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            + [const_spec(w.shape) for w in dft_ws]
+            + [const_spec(mel.shape), const_spec(dct.shape)],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+            cost_estimate=cost_for(radix4_flops),
+        )(audio, *dft_ws, jnp.asarray(mel), jnp.asarray(dct))
+    elif variant == "phases":
         audio = audio.astype(jnp.float32).reshape(padded, n // _LANES, _LANES)
         kernel = functools.partial(
             _kernel_phases, plan=plan, num_bins=num_bins,
@@ -371,6 +571,24 @@ def mfcc_plan(cfg: AudioConfig, n: int, variant: str):
         dft_ws = [
             jnp.asarray(w).astype(matmul_dtype) for *_, w in phase_plan[4]
         ]
+    elif variant == "radix4":
+        # factored-DFT constants: stage-2 matrices + the explicit window
+        # (f32, CHUNKED into [1, 128] refs — see mfcc_tail_radix4; the
+        # window multiply precedes the matmul cast), and the
+        # branch-PERMUTED mel matrix replacing the dense-layout one
+        phase_plan = None
+        mel = dsp.radix4_mel_matrix(
+            cfg.num_mel_bins, fft_length, cfg.sample_rate,
+            cfg.lower_edge_hertz, cfg.upper_edge_hertz,
+        )
+        wwin = dsp.radix4_window(window, fft_length)
+        dft_ws = [
+            jnp.asarray(m).astype(matmul_dtype)
+            for m in dsp.radix4_dft_matrices(fft_length)
+        ] + [
+            jnp.asarray(wwin[c : c + _LANES])[None, :]
+            for c in range(0, fft_length, _LANES)
+        ]
     else:
         phase_plan = None
         dft_ws = [
@@ -386,19 +604,24 @@ def resolve_dft_variant(cfg: AudioConfig, num_samples: int) -> str:
     """Resolve cfg.dft_variant ("auto" -> measured winner) with a
     geometry-availability fallback to "hops"."""
     variant = getattr(cfg, "dft_variant", "auto")
-    if variant not in ("auto", "hops", "phases"):
+    if variant not in ("auto", "hops", "phases", "radix4"):
         # an unknown string would otherwise silently select the hops
         # path — the user benchmarks/trains the wrong kernel with no
         # error (same policy as augment's method validation)
         raise ValueError(
-            f"dft_variant must be 'auto', 'hops', or 'phases'; "
-            f"got {variant!r}"
+            f"dft_variant must be 'auto', 'hops', 'phases', or "
+            f"'radix4'; got {variant!r}"
         )
     if variant == "auto":
-        # measured on v5e: hops wins (1.0-1.19 vs a batch-flat 1.56
-        # us/utt for phases — the per-phase matmuls are canonical but
-        # small, and the slice/stack bookkeeping costs more than the
-        # hop assembly it removes); see docs/BENCH_RESULTS.md
+        # measured on v5e (tools/profile_r4.py E, batch 1536/4096): hops
+        # wins — 1.16/1.19 us/utt vs phases 1.56 (r3) and radix4 1.71/1.76
+        # (r4). The kernel is data-movement-bound, not DFT-MXU-bound:
+        # radix4 cuts DFT MACs 2.5x yet loses 1.5x because its
+        # strided-row frame assembly (_strided_rows_128) spends more VPU
+        # time than the dense hop-matmul spends MXU time; see
+        # docs/BENCH_RESULTS.md "DFT variants".
+        variant = "hops"
+    if variant == "radix4" and not radix4_kernel_available(cfg, num_samples):
         variant = "hops"
     if variant == "phases" and not phase_dft_available(cfg, num_samples):
         variant = "hops"
@@ -420,17 +643,23 @@ def fused_mfcc(
     With a multi-device `mesh`, the kernel runs per-shard under shard_map
     (a custom call cannot be partitioned by plain jit) with the batch
     sharded over the `data` axis. `variant` overrides cfg.dft_variant
-    ("hops" | "phases" | "auto" — see phase_dft_plan).
+    ("hops" | "phases" | "radix4" | "auto" — see phase_dft_plan and
+    mfcc_tail_radix4).
     """
     if not fused_mfcc_available(cfg, audio.shape[-1]):
         return dsp.mfcc(audio, cfg)
-    if variant is not None and variant not in ("auto", "hops", "phases"):
+    if variant is not None and variant not in (
+        "auto", "hops", "phases", "radix4"
+    ):
         raise ValueError(
-            f"variant must be 'auto', 'hops', or 'phases'; got {variant!r}"
+            f"variant must be 'auto', 'hops', 'phases', or 'radix4'; "
+            f"got {variant!r}"
         )
     if variant is None or variant == "auto":
         variant = resolve_dft_variant(cfg, audio.shape[-1])
     elif variant == "phases" and not phase_dft_available(cfg, audio.shape[-1]):
+        variant = "hops"
+    elif variant == "radix4" and not radix4_kernel_available(cfg, audio.shape[-1]):
         variant = "hops"
     from jax.sharding import PartitionSpec as P
 

@@ -177,3 +177,38 @@ def test_bf16_dsp_matmul_close_to_f32():
     assert a.shape == b.shape
     err = np.abs(a - b).max()
     assert 0 < err < 0.1, err  # bf16 rounding is real but small
+
+
+def test_radix4_bin_map_is_a_permutation():
+    """Every FFT bin 0..N/2 appears exactly once across the three
+    radix-4 branches; dead rows are -1 and zero in the permuted mel."""
+    for fft in (512, 1024):
+        bins = dsp.radix4_bin_map(fft)
+        used = bins[bins >= 0]
+        assert sorted(used.tolist()) == list(range(fft // 2 + 1))
+        mel = dsp.radix4_mel_matrix(64, fft, 16000, 80.0, 7600.0)
+        assert mel.shape == (3 * (fft // 4), 64)
+        assert not mel[bins < 0].any()
+        np.testing.assert_array_equal(
+            mel[bins >= 0],
+            dsp.linear_to_mel_weight_matrix(64, fft // 2 + 1, 16000,
+                                            80.0, 7600.0)[used],
+        )
+
+
+@pytest.mark.parametrize("cfg", [CFG_3010, CFG_4020], ids=["30/10", "40/20"])
+@pytest.mark.parametrize("method", ["mfcc", "log_mel_spectrogram"])
+def test_radix4_xla_path_matches_dense(cfg, rng, method):
+    """dft_variant='radix4' on the XLA path: the factored rDFT +
+    permuted-mel formulation is the same math to reassociation level."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    cfg = dataclasses.replace(cfg, preprocess_method=method)
+    cfg4 = dataclasses.replace(cfg, dft_variant="radix4")
+    audio = rng.uniform(-1, 1, size=(3, 16000)).astype(np.float32)
+    a = np.asarray(dsp.preprocess(jnp.asarray(audio), cfg))
+    b = np.asarray(dsp.preprocess(jnp.asarray(audio), cfg4))
+    assert a.shape == b.shape
+    np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)

@@ -55,7 +55,7 @@ def test_phase_plan_geometry():
     assert not phase_dft_available(CFG_3010, 2720)
 
 
-@pytest.mark.parametrize("variant", ["hops", "phases"])
+@pytest.mark.parametrize("variant", ["hops", "phases", "radix4"])
 @pytest.mark.parametrize("cfg", [CFG_3010, CFG_4020], ids=["30/10", "40/20"])
 def test_kernel_matches_xla_path(cfg, rng, variant):
     cfg = _small(cfg)
@@ -68,7 +68,7 @@ def test_kernel_matches_xla_path(cfg, rng, variant):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("variant", ["hops", "phases"])
+@pytest.mark.parametrize("variant", ["hops", "phases", "radix4"])
 @pytest.mark.parametrize("cfg", [CFG_3010, CFG_4020], ids=["30/10", "40/20"])
 def test_kernel_matches_xla_path_real_geometry(cfg, rng, variant):
     audio = rng.uniform(-1, 1, size=(8, 16000)).astype(np.float32)
@@ -78,7 +78,7 @@ def test_kernel_matches_xla_path_real_geometry(cfg, rng, variant):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("variant", ["hops", "phases"])
+@pytest.mark.parametrize("variant", ["hops", "phases", "radix4"])
 def test_kernel_matches_xla_log_mel(rng, variant):
     """Log-mel through the SAME fused kernel (magnitude spectrum, identity
     DCT — mfcc_plan) must match dsp.log_mel_spectrogram; the reference

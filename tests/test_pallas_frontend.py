@@ -86,7 +86,7 @@ def test_frontend_fusable_gates(rng):
     )
 
 
-@pytest.mark.parametrize("variant", ["hops", "phases"])
+@pytest.mark.parametrize("variant", ["hops", "phases", "radix4"])
 @pytest.mark.parametrize(
     "window_ms,stride_ms", [(30.0, 10.0), (40.0, 20.0)], ids=["3010", "4020"]
 )
