@@ -69,22 +69,26 @@ def _resnet2d8_pool(cfg, shape, dtype):
 
 @MODELS.register("Res8")
 def _res8(cfg, shape, dtype):
-    return res.res8(cfg.num_classes, bn_momentum=cfg.bn_momentum, dtype=dtype)
+    return res.res8(cfg.num_classes, bn_momentum=cfg.bn_momentum, dtype=dtype,
+                    conv_backend=getattr(cfg, 'conv_backend', 'xla'))
 
 
 @MODELS.register("Res8Narrow")
 def _res8n(cfg, shape, dtype):
-    return res.res8_narrow(cfg.num_classes, bn_momentum=cfg.bn_momentum, dtype=dtype)
+    return res.res8_narrow(cfg.num_classes, bn_momentum=cfg.bn_momentum, dtype=dtype,
+                    conv_backend=getattr(cfg, 'conv_backend', 'xla'))
 
 
 @MODELS.register("Res15")
 def _res15(cfg, shape, dtype):
-    return res.res15(cfg.num_classes, bn_momentum=cfg.bn_momentum, dtype=dtype)
+    return res.res15(cfg.num_classes, bn_momentum=cfg.bn_momentum, dtype=dtype,
+                    conv_backend=getattr(cfg, 'conv_backend', 'xla'))
 
 
 @MODELS.register("Res15Narrow")
 def _res15n(cfg, shape, dtype):
-    return res.res15_narrow(cfg.num_classes, bn_momentum=cfg.bn_momentum, dtype=dtype)
+    return res.res15_narrow(cfg.num_classes, bn_momentum=cfg.bn_momentum, dtype=dtype,
+                    conv_backend=getattr(cfg, 'conv_backend', 'xla'))
 
 
 @MODELS.register("DSCNNS")

@@ -166,3 +166,46 @@ def test_bfloat16_compute_path():
     leaf = jax.tree_util.tree_leaves(variables["params"])[0]
     assert leaf.dtype == jnp.float32
     assert logits.dtype == jnp.float32
+
+
+@pytest.mark.parametrize("name", ["Res8", "Res15"])
+def test_res_im2col_backend_matches_xla(name):
+    """conv_backend='im2col' (layers.Im2ColConv: taps*channels packed
+    into one contraction dim for MXU utilization) is the same math and
+    the same param tree as the lax.conv path — checkpoints interchange."""
+    cfg = get_preset(name)
+    shape = dsp.feature_shape(cfg.audio)
+    import dataclasses
+
+    m_xla = build_model(cfg.model, shape, "float32")
+    m_i2c = build_model(
+        dataclasses.replace(cfg.model, conv_backend="im2col"), shape, "float32"
+    )
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(2,) + shape).astype(np.float32)
+    )
+    variables = m_xla.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        x, training=True,
+    )
+    a = m_xla.apply(variables, x, training=False)
+    b = m_i2c.apply(variables, x, training=False)  # same tree, reused
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-5, atol=2e-5)
+
+    # gradients agree too (the training path is the point of im2col)
+    def loss(params, model):
+        return jnp.sum(
+            model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, training=False,
+            ) ** 2
+        )
+
+    ga = jax.grad(loss)(variables["params"], m_xla)
+    gb = jax.grad(loss)(variables["params"], m_i2c)
+    jax.tree_util.tree_map(
+        lambda p, q: np.testing.assert_allclose(
+            np.asarray(q), np.asarray(p), rtol=1e-4, atol=1e-4
+        ),
+        ga, gb,
+    )
