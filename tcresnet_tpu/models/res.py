@@ -32,9 +32,9 @@ class ResKWS(nn.Module):
     use_dilation: bool = False
     bn_momentum: Optional[float] = None  # None -> reference decay 0.997
     dtype: Optional[Any] = None
-    # "xla" (lax.conv) or "im2col" (layers.Im2ColConv): identical math +
-    # params; im2col packs taps*channels into one contraction dim so the
-    # 45-channel convs stop wasting ~88% of the MXU on lane padding.
+    # "xla" (lax.conv, the measured winner by 15-30x) or "im2col"
+    # (layers.Im2ColConv, a tested alternative — see its docstring for
+    # the measured negative). Identical math + params either way.
     conv_backend: str = "xla"
 
     def _conv_relu(self, x, idx: int, training: bool):

@@ -33,7 +33,8 @@ DEFAULT_PRESETS = [
 ]
 
 
-def bench_preset(name: str, batch: int, steps_per_call: int, dtype: str, host):
+def bench_preset(name: str, batch: int, steps_per_call: int, dtype: str, host,
+                 conv_backend: str = None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -51,8 +52,14 @@ def bench_preset(name: str, batch: int, steps_per_call: int, dtype: str, host):
             cfg.train, batch_size=batch, max_step=10**9, compute_dtype=dtype
         )
     )
+    if conv_backend:
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model, conv_backend=conv_backend)
+        )
     mesh = make_mesh(cfg.mesh)
     result = {"preset": name, "batch": batch, "compute_dtype": dtype}
+    if conv_backend:
+        result["conv_backend"] = conv_backend
 
     with tempfile.TemporaryDirectory() as tmp:
         trainer = Trainer(
@@ -93,6 +100,9 @@ def main(argv=None):
     p.add_argument("--steps-per-call", type=int, default=10)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--num-samples", type=int, default=8192)
+    p.add_argument("--conv-backend", default=None,
+                   help="override ModelConfig.conv_backend for every "
+                        "preset (e.g. im2col for the Res families)")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
@@ -105,7 +115,8 @@ def main(argv=None):
     for name in args.presets:
         print(f"benchmarking {name}...", file=sys.stderr, flush=True)
         try:
-            r = bench_preset(name, args.batch, args.steps_per_call, args.dtype, host)
+            r = bench_preset(name, args.batch, args.steps_per_call,
+                             args.dtype, host, args.conv_backend)
         except Exception as e:  # record and continue the sweep
             r = {"preset": name, "error": str(e)[:200]}
         results.append(r)

@@ -170,7 +170,6 @@ def conv_lax(x, w, dil=1):
         x, w, window_strides=(1, 1), padding="SAME",
         rhs_dilation=(dil, dil),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
 
 
@@ -188,8 +187,7 @@ def conv_im2col(x, w, dil=1):
                 xp, (0, i * dil, j * dil, 0), (b, h, ww, ci)))
     patches = jnp.concatenate(parts, axis=-1)
     y = jnp.dot(patches.reshape(b * h * ww, kh * kw * ci),
-                w.reshape(kh * kw * ci, co),
-                preferred_element_type=jnp.float32)
+                w.reshape(kh * kw * ci, co))
     return y.reshape(b, h, ww, co)
 
 
@@ -205,8 +203,7 @@ def conv_tapsum(x, w, dil=1):
         for j in range(kw):
             sl = jax.lax.dynamic_slice(xp, (0, i * dil, j * dil, 0),
                                        (b, h, ww, ci))
-            part = jnp.dot(sl.reshape(b * h * ww, ci), w[i, j],
-                           preferred_element_type=jnp.float32)
+            part = jnp.dot(sl.reshape(b * h * ww, ci), w[i, j])
             acc = part if acc is None else acc + part
     return acc.reshape(b, h, ww, co)
 
@@ -228,14 +225,20 @@ def run_b(batches=(256, 1024), dtype=jnp.bfloat16):
         w = w0.astype(dtype)
         for name, f in [("conv_lax", conv_lax), ("conv_im2col", conv_im2col),
                         ("conv_tapsum", conv_tapsum)]:
-            jfwd = jax.jit(lambda x, f=f: jnp.sum(f(x, w) ** 2))
+            # cast the conv output back to the compute dtype so the
+            # transpose conv in the bwd pass sees matching operand dtypes
+            jfwd = jax.jit(
+                lambda x, f=f: jnp.sum(f(x, w).astype(dtype)
+                                       .astype(jnp.float32) ** 2))
 
             def body(i, acc, jfwd=jfwd, x0=x0):
                 return acc + jfwd(x0 + i.astype(dtype))
 
             report(f"{name}_fwd", batch, timed_loop(body))
 
-            jgrad = jax.jit(jax.grad(lambda x, f=f: jnp.sum(f(x, w) ** 2)))
+            jgrad = jax.jit(jax.grad(
+                lambda x, f=f: jnp.sum(f(x, w).astype(dtype)
+                                       .astype(jnp.float32) ** 2)))
 
             def gbody(i, acc, jgrad=jgrad, x0=x0):
                 return acc + jnp.sum(jgrad(x0 + i.astype(dtype))
@@ -246,12 +249,24 @@ def run_b(batches=(256, 1024), dtype=jnp.bfloat16):
         # dilated (Res15 geometry, rate 4)
         for name, f in [("conv_lax_dil4", conv_lax),
                         ("conv_im2col_dil4", conv_im2col)]:
-            jfwd = jax.jit(lambda x, f=f: jnp.sum(f(x, w, 4) ** 2))
+            jfwd = jax.jit(
+                lambda x, f=f: jnp.sum(f(x, w, 4).astype(dtype)
+                                       .astype(jnp.float32) ** 2))
 
             def body(i, acc, jfwd=jfwd, x0=x0):
                 return acc + jfwd(x0 + i.astype(dtype))
 
             report(f"{name}_fwd", batch, timed_loop(body))
+
+            jgrad = jax.jit(jax.grad(
+                lambda x, f=f: jnp.sum(f(x, w, 4).astype(dtype)
+                                       .astype(jnp.float32) ** 2)))
+
+            def gbody(i, acc, jgrad=jgrad, x0=x0):
+                return acc + jnp.sum(jgrad(x0 + i.astype(dtype))
+                                     .astype(jnp.float32) ** 2)
+
+            report(f"{name}_dil4_fwdbwd", batch, timed_loop(gbody))
 
 
 # ---------------------------------------------------------------------------
@@ -430,4 +445,191 @@ if __name__ == "__main__":
         if bstr:
             kw["batches"] = tuple(int(b) for b in bstr.split(","))
         {"A": run_a, "B": run_b, "C": run_c, "D": run_d,
-         "E": run_e, "F": run_f}[letter](**kw)
+         "E": run_e, "F": run_f, "G": run_g, "H": run_h}[letter](**kw)
+
+
+# ---------------------------------------------------------------------------
+# G. Res8 train-step decomposition: where do 52 us/utt go?
+# ---------------------------------------------------------------------------
+
+
+def run_g(batches=(1024,)):
+    """B showed a single 3x3 conv is ~1us/utt fwd (7 convs ~= 15us/utt
+    fwd+bwd) yet Res8 trains at ~53us/utt. Time the model in ablated
+    forms to find the dominator: full fwd+bwd, fwd only, BNs stripped,
+    head only, and the f32-vs-bf16 axis."""
+    import dataclasses
+
+    import flax.linen as nn
+
+    from tcresnet_tpu.config import get_preset
+    from tcresnet_tpu.models import build_model
+    from tcresnet_tpu.ops import dsp
+
+    cfg = get_preset("Res8")
+    shape = dsp.feature_shape(cfg.audio)
+
+    class ResNoBN(nn.Module):
+        """Res8 minus every BatchNorm (convs/relu/pool/head intact)."""
+        inner: nn.Module
+
+        @nn.compact
+        def __call__(self, x, training=False):
+            import tcresnet_tpu.models.res as res_mod
+            from tcresnet_tpu.models import layers
+
+            m = self.inner
+            x = nn.relu(layers.slim_conv(
+                x, m.num_channels, (3, 3), (1, 1), name="f_conv",
+                dtype=m.dtype))
+            if m.pool_size is not None:
+                x = layers.avg_pool_valid(x, m.pool_size, (1, 1))
+            idx = 0
+            for i in range(m.num_layers // 2):
+                shortcut = x
+                y = nn.relu(layers.slim_conv(
+                    y if False else x, m.num_channels, (3, 3), (1, 1),
+                    name=f"conv{idx}", dtype=m.dtype))
+                idx += 1
+                y = nn.relu(layers.slim_conv(
+                    y, m.num_channels, (3, 3), (1, 1),
+                    name=f"conv{idx}", dtype=m.dtype))
+                idx += 1
+                x = y + shortcut
+            x = layers.global_avg_pool(x)
+            return nn.Dense(m.num_classes, use_bias=False,
+                            name="fc")(x).astype(jnp.float32)
+
+    for dtype_name in ("bfloat16", "float32"):
+        model = build_model(cfg.model, shape, dtype_name)
+        nobn = ResNoBN(inner=model)
+        for batch in batches:
+            x0 = jax.random.normal(jax.random.key(0), (batch,) + shape,
+                                   jnp.float32)
+
+            for name, m, training in [
+                ("res8_fwd_eval", model, False),
+                ("res8_fwd_train_stats", model, True),
+                ("res8_nobn_fwd", nobn, False),
+            ]:
+                variables = m.init({"params": jax.random.key(0)}, x0[:2],
+                                   training=False)
+
+                if training:
+                    def fwd(x, variables=variables, m=m):
+                        out, _ = m.apply(variables, x, training=True,
+                                         mutable=["batch_stats"])
+                        return jnp.sum(out.astype(jnp.float32) ** 2)
+                else:
+                    def fwd(x, variables=variables, m=m):
+                        return jnp.sum(
+                            m.apply(variables, x, training=False)
+                            .astype(jnp.float32) ** 2)
+
+                jfwd = jax.jit(fwd)
+
+                def body(i, acc, jfwd=jfwd, x0=x0):
+                    return acc + jfwd(x0 + i.astype(jnp.float32))
+
+                report(f"{name}_{dtype_name}", batch, timed_loop(body, 5, 25))
+
+                # fwd+bwd wrt params (the training shape)
+                params = variables["params"]
+                rest = {k: v for k, v in variables.items() if k != "params"}
+
+                if training:
+                    def loss(p, x, m=m, rest=rest):
+                        out, _ = m.apply({"params": p, **rest}, x,
+                                         training=True,
+                                         mutable=["batch_stats"])
+                        return jnp.sum(out.astype(jnp.float32) ** 2)
+                else:
+                    def loss(p, x, m=m, rest=rest):
+                        return jnp.sum(
+                            m.apply({"params": p, **rest}, x,
+                                    training=False)
+                            .astype(jnp.float32) ** 2)
+
+                jgrad = jax.jit(jax.grad(loss))
+
+                def gbody(i, acc, jgrad=jgrad, x0=x0, params=params):
+                    g = jgrad(params, x0 + i.astype(jnp.float32))
+                    return acc + sum(
+                        jnp.sum(l.astype(jnp.float32) ** 2)
+                        for l in jax.tree_util.tree_leaves(g))
+
+                report(f"{name}_bwd_{dtype_name}", batch,
+                       timed_loop(gbody, 5, 25))
+
+
+# ---------------------------------------------------------------------------
+# H. does XLA's (8,128) buffer tiling inflate HBM traffic on C=45 maps?
+# ---------------------------------------------------------------------------
+
+
+def run_h(batches=(1024,)):
+    """Times an identical elementwise chain (relu(x)+x, 4x) on
+    [B,95,38,45] vs the same bytes reshaped so the minor dim is
+    128-dense ([B,95,1710] and [B*95*38*45//128,128]). If the padded
+    C=45 layout is slower, XLA stores map buffers (8,128)-tiled and
+    elementwise passes pay 128/45 = 2.8x physical HBM traffic — the
+    Res-family step-time dominator candidate. Also times stat-only BN
+    (flax) on the map shape, fwd and fwd+bwd."""
+    import flax.linen as nn
+
+    h, w, c = 95, 38, 45
+    n_el = h * w * c  # 162,450
+
+    def chain(x):
+        for _ in range(4):
+            x = jax.nn.relu(x) + x
+        return jnp.sum(x.astype(jnp.float32) ** 2)
+
+    for dtype in (jnp.bfloat16, jnp.float32):
+        dname = jnp.dtype(dtype).name
+        for batch in batches:
+            flat = jax.random.normal(jax.random.key(0), (batch, n_el), dtype)
+            shapes = {
+                "map45": (batch, h, w, c),
+                "minor1710": (batch, h, w * c),
+                "dense128": (batch * n_el // 128, 128),
+            }
+            for name, shp in shapes.items():
+                x0 = flat.reshape(shp)
+                jfn = jax.jit(chain)
+
+                def body(i, acc, jfn=jfn, x0=x0):
+                    return acc + jfn(x0 + i.astype(x0.dtype))
+
+                report(f"elemwise_{name}_{dname}", batch,
+                       timed_loop(body, 10, 60))
+
+            # stat-only BN (the Res-family layer) on the map shape
+            bn = nn.BatchNorm(use_running_average=False, momentum=0.997,
+                              epsilon=1e-3, use_bias=False, use_scale=False,
+                              dtype=dtype if dtype != jnp.float32 else None)
+            x0 = flat.reshape(shapes["map45"])
+            variables = bn.init(jax.random.key(0), x0[:2])
+
+            @jax.jit
+            def bn_fwd(x, variables=variables, bn=bn):
+                y, _ = bn.apply(variables, x, mutable=["batch_stats"])
+                return jnp.sum(y.astype(jnp.float32) ** 2)
+
+            def body(i, acc, x0=x0):
+                return acc + bn_fwd(x0 + i.astype(x0.dtype))
+
+            report(f"bn_stat_map45_{dname}", batch, timed_loop(body, 10, 60))
+
+            @jax.jit
+            def bn_bwd(x, variables=variables, bn=bn):
+                def f(x):
+                    y, _ = bn.apply(variables, x, mutable=["batch_stats"])
+                    return jnp.sum(y.astype(jnp.float32) ** 2)
+                return jnp.sum(jax.grad(f)(x).astype(jnp.float32) ** 2)
+
+            def gbody(i, acc, x0=x0):
+                return acc + bn_bwd(x0 + i.astype(x0.dtype))
+
+            report(f"bn_stat_fwdbwd_map45_{dname}", batch,
+                   timed_loop(gbody, 10, 60))
