@@ -433,21 +433,6 @@ def run_f(batches=(1024, 1536, 2048, 4096)):
             report(f"frontend_{variant}", batch, timed_loop(body))
 
 
-if __name__ == "__main__":
-    # args: part letters, optionally with batches ("A:1024,4096")
-    import os
-
-    parts = sys.argv[1:] or ["A", "B", "C"]
-    print(f"devices: {jax.devices()}", flush=True)
-    for part in parts:
-        letter, _, bstr = part.partition(":")
-        kw = {}
-        if bstr:
-            kw["batches"] = tuple(int(b) for b in bstr.split(","))
-        {"A": run_a, "B": run_b, "C": run_c, "D": run_d,
-         "E": run_e, "F": run_f, "G": run_g, "H": run_h}[letter](**kw)
-
-
 # ---------------------------------------------------------------------------
 # G. Res8 train-step decomposition: where do 52 us/utt go?
 # ---------------------------------------------------------------------------
@@ -633,3 +618,18 @@ def run_h(batches=(1024,)):
 
             report(f"bn_stat_fwdbwd_map45_{dname}", batch,
                    timed_loop(gbody, 10, 60))
+
+
+if __name__ == "__main__":
+    # args: part letters, optionally with batches ("A:1024,4096")
+    import os
+
+    parts = sys.argv[1:] or ["A", "B", "C"]
+    print(f"devices: {jax.devices()}", flush=True)
+    for part in parts:
+        letter, _, bstr = part.partition(":")
+        kw = {}
+        if bstr:
+            kw["batches"] = tuple(int(b) for b in bstr.split(","))
+        {"A": run_a, "B": run_b, "C": run_c, "D": run_d,
+         "E": run_e, "F": run_f, "G": run_g, "H": run_h}[letter](**kw)
