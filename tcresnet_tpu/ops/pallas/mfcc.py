@@ -260,14 +260,24 @@ def radix4_kernel_available(
 ) -> bool:
     """The in-kernel radix-4 tail needs lane-tile-aligned butterfly
     blocks — fft/4 % 128 == 0 (true for both reference windows: 480 ->
-    512 -> L=128; 640 -> 1024 -> L=256) — and a whole number of
-    lane-major [R, 128] sample rows (n % 128 == 0)."""
+    512 -> L=128; 640 -> 1024 -> L=256) — a whole number of lane-major
+    [R, 128] sample rows (n % 128 == 0), and a window short enough that
+    _strided_rows_128's one-superblock lookahead only ever clamps reads
+    inside the Hann window's zero tail: window <= lcm(hop, 128) + hop
+    (positions further than one superblock past a row's start block are
+    substituted with garbage that MUST be erased by the window
+    multiply; 480 <= 640+160 and 640 <= 1280+320 hold, a 60 ms/10 ms
+    window would not — measured 0.147 feature deviation if allowed)."""
     n = num_samples or cfg.desired_samples
-    fft_length = dsp.fft_length_for(cfg.window_size_samples)
+    window = cfg.window_size_samples
+    hop = cfg.window_stride_samples
+    fft_length = dsp.fft_length_for(window)
+    lcm = (hop * _LANES) // math.gcd(hop, _LANES)
     return (
         fft_length % 4 == 0
         and (fft_length // 4) % _LANES == 0
         and n % _LANES == 0
+        and window <= lcm + hop
     )
 
 
@@ -456,6 +466,20 @@ def _fused_mfcc_impl(audio, cfg: AudioConfig, interpret: bool, tb: int = 8,
     const_spec = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
     )
+
+    def vmem_params(*buffer_elems):
+        """Raise the 16 MB scoped-vmem soft cap when this geometry's
+        per-grid-step live buffers (f32 elements, pre-headroom) exceed
+        it — e.g. a 60 ms window's [tb*n_hops, k*two_k] hop-matmul
+        output alone is ~20 MB at tb=8 (compile error caught on v5e).
+        None for the flagship geometries so their compiles are
+        byte-identical to before."""
+        est = int(4 * sum(buffer_elems) * 1.5)
+        if est <= 16 * 1024 * 1024:
+            return None
+        return pltpu.CompilerParams(
+            vmem_limit_bytes=min(est, 100 * 1024 * 1024)
+        )
     out_spec = pl.BlockSpec(
         (tb, frames, out_w), lambda i: (i, 0, 0),
         memory_space=pltpu.VMEM,
@@ -487,6 +511,12 @@ def _fused_mfcc_impl(audio, cfg: AudioConfig, interpret: bool, tb: int = 8,
             out_shape=out_shape,
             interpret=interpret,
             cost_estimate=cost_for(radix4_flops),
+            compiler_params=vmem_params(
+                tb * n,                              # input block
+                tb * frames * (3 * fft_length + 2 * two_k),  # butterflies
+                tb * frames * (cfg.num_mel_bins + out_w),
+                3 * (fft_length // 4) ** 2 * 2 + fft_length,  # constants
+            ),
         )(audio, *dft_ws, jnp.asarray(mel), jnp.asarray(dct))
     elif variant == "phases":
         audio = audio.astype(jnp.float32).reshape(padded, n // _LANES, _LANES)
@@ -511,6 +541,12 @@ def _fused_mfcc_impl(audio, cfg: AudioConfig, interpret: bool, tb: int = 8,
             out_shape=out_shape,
             interpret=interpret,
             cost_estimate=cost_for(phases_flops),
+            compiler_params=vmem_params(
+                tb * n,                               # input block
+                tb * frames * 2 * two_k,              # per-phase + gathered
+                tb * frames * (cfg.num_mel_bins + out_w),
+                sum(w.size for w in dft_ws),          # per-phase DFT consts
+            ),
         )(audio, *dft_ws, jnp.asarray(mel), jnp.asarray(dct))
     else:
         audio = audio.astype(jnp.float32).reshape(padded, n_hops, hop)
@@ -532,6 +568,11 @@ def _fused_mfcc_impl(audio, cfg: AudioConfig, interpret: bool, tb: int = 8,
             out_shape=out_shape,
             interpret=interpret,
             cost_estimate=cost_for(n_hops * hop * k * two_k),
+            compiler_params=vmem_params(
+                tb * n_hops * (hop + k * two_k),   # input + hop-matmul out
+                tb * frames * (2 * two_k + cfg.num_mel_bins + out_w),
+                hop * k * two_k + num_bins * cfg.num_mel_bins,  # constants
+            ),
         )(audio, dft_ws[0], jnp.asarray(mel), jnp.asarray(dct))
     if pad:
         out = out[:batch]
@@ -647,6 +688,11 @@ def fused_mfcc(
     mfcc_tail_radix4).
     """
     if not fused_mfcc_available(cfg, audio.shape[-1]):
+        # fall back to the matching XLA feature — NOT unconditionally
+        # MFCC: a log-mel config with unsupported geometry must still
+        # get log-mel (magnitude spectrum, no DCT, width num_mel_bins)
+        if cfg.preprocess_method == "log_mel_spectrogram":
+            return dsp.log_mel_spectrogram(audio, cfg, magnitude_squared=False)
         return dsp.mfcc(audio, cfg)
     if variant is not None and variant not in (
         "auto", "hops", "phases", "radix4"

@@ -110,3 +110,42 @@ def test_fallback_for_unsupported_geometry(rng):
     got = np.asarray(fused_mfcc(audio, cfg, interpret=True))
     want = np.asarray(dsp.mfcc(audio, cfg))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fallback_for_unsupported_geometry_log_mel(rng):
+    """A log-mel config with kernel-unsupported geometry must fall back
+    to the XLA LOG-MEL feature (magnitude spectrum, no DCT, width
+    num_mel_bins) — not to MFCC."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        AudioConfig(window_size_ms=25.0),
+        preprocess_method="log_mel_spectrogram",
+    )
+    assert not fused_mfcc_available(cfg)
+    audio = rng.uniform(-1, 1, size=(2, 16000)).astype(np.float32)
+    got = np.asarray(fused_mfcc(audio, cfg, interpret=True))
+    want = np.asarray(dsp.log_mel_spectrogram(audio, cfg, magnitude_squared=False))
+    assert got.shape == want.shape == (2, 98, 64)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_radix4_window_lookahead_guard(rng):
+    """radix4's _strided_rows_128 reads one superblock ahead of a row's
+    start block; positions past window <= lcm(hop, 128) + hop pick up
+    garbage that the window multiply cannot erase. A 60 ms/10 ms window
+    (960 > 640 + 160) must be rejected — and fused_mfcc(variant=radix4)
+    must silently take the hops path and still match XLA (a 0.147
+    feature deviation was measured with the guard absent)."""
+    from tcresnet_tpu.ops.pallas.mfcc import radix4_kernel_available
+
+    assert radix4_kernel_available(CFG_3010)
+    assert radix4_kernel_available(CFG_4020)
+    cfg = AudioConfig(window_size_ms=60.0)  # 960/160: hop-divisible, too long
+    assert fused_mfcc_available(cfg)
+    assert not radix4_kernel_available(cfg)
+    cfg = _small(cfg)
+    audio = rng.uniform(-1, 1, size=(2, cfg.desired_samples)).astype(np.float32)
+    got = np.asarray(fused_mfcc(audio, cfg, interpret=True, variant="radix4"))
+    want = np.asarray(dsp.mfcc(audio, cfg))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
