@@ -113,10 +113,10 @@ def mix_crop_row(shifted3, scratch, rem, vol, a_rows: int, crop_rolls: bool, plt
 def augment_block_rows(
     i, get_wav3, shift_ref, srow_ref, rem_ref, vol_ref, keep_ref,
     noise_ref, scratches, sem, p: int, win_rows: int, crop_rolls: bool,
-    pl, pltpu,
+    pl, pltpu, tb: int = _TB,
 ):
-    """One grid step of the fused augment phase: start all TB crop DMAs,
-    shift rows while they fly, then mix+clip; returns the TB augmented
+    """One grid step of the fused augment phase: start all `tb` crop DMAs,
+    shift rows while they fly, then mix+clip; returns the tb augmented
     [1, A, 128] f32 rows as values. `get_wav3(r)` supplies the r-th wav
     block (pre-decoded f32 for v4; int16-decode-on-read for v5 and the
     single-kernel frontend). The SINGLE implementation of the
@@ -125,27 +125,27 @@ def augment_block_rows(
     a_rows = p // _LANES
 
     def crop_dma(r):
-        start = pl.multiple_of(srow_ref[i * _TB + r], 8)
+        start = pl.multiple_of(srow_ref[i * tb + r], 8)
         return pltpu.make_async_copy(
             noise_ref.at[pl.ds(start, win_rows)],
             scratches[r].at[pl.ds(0, win_rows)],
             sem.at[r],
         )
 
-    for r in range(_TB):
+    for r in range(tb):
         crop_dma(r).start()
 
     pos = sample_positions(a_rows)
     shifted = []
-    for r in range(_TB):
-        b = i * _TB + r
+    for r in range(tb):
+        b = i * tb + r
         shifted.append(
             shift_row(get_wav3(r), shift_ref[b], keep_ref[b], pos, p, pltpu)
         )
 
     rows = []
-    for r in range(_TB):
-        b = i * _TB + r
+    for r in range(tb):
+        b = i * tb + r
         crop_dma(r).wait()
         rows.append(
             mix_crop_row(
@@ -296,21 +296,21 @@ def _kernel_gather(
         out_ref[r : r + 1] = rows[r]
 
 
-def pad_batch_scalars(idx, scalars):
-    """Pad idx + the per-row scalar draws to a multiple of _TB.
+def pad_batch_scalars(idx, scalars, tb: int = _TB):
+    """Pad idx + the per-row scalar draws to a multiple of `tb`.
 
     Padded rows read dataset row idx=0 with keep=0 and are sliced off by
     every caller ([:batch]). Shared by _fused_gather_augment_impl and
     the single-kernel frontend (frontend._impl)."""
     batch = idx.shape[0]
-    pad_b = (-batch) % _TB
+    pad_b = (-batch) % tb
     if pad_b:
         idx = jnp.pad(idx, (0, pad_b))
         scalars = tuple(jnp.pad(a, (0, pad_b)) for a in scalars)
     return idx, tuple(scalars)
 
 
-def gather_wav_spec(r: int, a_rows: int, pl, pltpu):
+def gather_wav_spec(r: int, a_rows: int, pl, pltpu, tb: int = _TB):
     """Index-mapped [1, A, 128] dataset-row BlockSpec: the index map
     reads the prefetched batch indices (the LAST scalar-prefetch
     operand), so the dataset-row gather IS the pipelined block fetch —
@@ -318,7 +318,7 @@ def gather_wav_spec(r: int, a_rows: int, pl, pltpu):
     gather kernel AND the single-kernel frontend; it lives once here."""
     return pl.BlockSpec(
         (1, a_rows, _LANES),
-        lambda i, *prefetch: (prefetch[-1][i * _TB + r], 0, 0),
+        lambda i, *prefetch: (prefetch[-1][i * tb + r], 0, 0),
         memory_space=pltpu.VMEM,
     )
 

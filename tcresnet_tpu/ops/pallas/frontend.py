@@ -69,6 +69,7 @@ from tcresnet_tpu.ops.pallas.mfcc import (
     mfcc_tail_phases,
     mfcc_tail_radix4,
     resolve_dft_variant,
+    vmem_params,
 )
 
 
@@ -121,12 +122,13 @@ def _kernel(
     phase_plan=None,
     variant: str = "hops",
     fft_length: int = 0,
+    tb: int = _TB,
 ):
     """Ref layout: 6 scalar-prefetch ([B] shift/srow/rem/vol/keep/idx),
-    TB index-mapped wav blocks [1, A, 128] int16, noise bank (ANY),
+    tb index-mapped wav blocks [1, A, 128] int16, noise bank (ANY),
     DFT matrices (1 for the hops variant, P for phases, 4 for radix4:
-    M0/M1/M2 + window), mel [K, M], dct [M, C], out [TB, frames, C],
-    TB crop scratches + DMA sem [TB]."""
+    M0/M1/M2 + window), mel [K, M], dct [M, C], out [tb, frames, C],
+    tb crop scratches + DMA sem [tb]."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -137,14 +139,14 @@ def _kernel(
     else:
         num_dft = 1
     shift_ref, srow_ref, rem_ref, vol_ref, keep_ref, _idx_ref = refs[:6]
-    wav_refs = refs[6 : 6 + _TB]
-    noise_ref = refs[6 + _TB]
-    dft_refs = refs[7 + _TB : 7 + _TB + num_dft]
-    mel_ref = refs[7 + _TB + num_dft]
-    dct_ref = refs[8 + _TB + num_dft]
-    out_ref = refs[9 + _TB + num_dft]
-    scratches = refs[10 + _TB + num_dft : 10 + 2 * _TB + num_dft]
-    sem = refs[10 + 2 * _TB + num_dft]
+    wav_refs = refs[6 : 6 + tb]
+    noise_ref = refs[6 + tb]
+    dft_refs = refs[7 + tb : 7 + tb + num_dft]
+    mel_ref = refs[7 + tb + num_dft]
+    dct_ref = refs[8 + tb + num_dft]
+    out_ref = refs[9 + tb + num_dft]
+    scratches = refs[10 + tb + num_dft : 10 + 2 * tb + num_dft]
+    sem = refs[10 + 2 * tb + num_dft]
 
     i = pl.program_id(0)
 
@@ -154,6 +156,7 @@ def _kernel(
         i, lambda r: wav_refs[r][:].astype(jnp.float32) * scale,
         shift_ref, srow_ref, rem_ref, vol_ref, keep_ref,
         noise_ref, scratches, sem, p, win_rows, crop_rolls, pl, pltpu,
+        tb=tb,
     )
     n_rows = n // _LANES  # rows holding real samples (n % 128 == 0)
     aug_rows = [a[:, :n_rows, :] for a in rows]  # [1, n_rows, 128] each
@@ -161,10 +164,10 @@ def _kernel(
     if phase_plan is not None:
         # --- phase-decomposed DFT tail: consumes the lane-major layout
         # directly, no per-frame hop assembly (ops/pallas/mfcc) ---
-        x3 = jnp.concatenate(aug_rows, axis=0)  # [TB, n_rows, 128]
+        x3 = jnp.concatenate(aug_rows, axis=0)  # [tb, n_rows, 128]
         out_ref[:] = mfcc_tail_phases(
             x3, [d[:] for d in dft_refs], mel_ref[:], dct_ref[:],
-            plan=phase_plan, tb=_TB, num_bins=num_bins,
+            plan=phase_plan, tb=tb, num_bins=num_bins,
             matmul_dtype=matmul_dtype, magnitude=magnitude,
         )
         return
@@ -172,11 +175,11 @@ def _kernel(
     if variant == "radix4":
         # --- factored-DFT tail (ops/pallas/mfcc.mfcc_tail_radix4):
         # consumes the lane-major layout directly, like phases ---
-        x3 = jnp.concatenate(aug_rows, axis=0)  # [TB, n_rows, 128]
+        x3 = jnp.concatenate(aug_rows, axis=0)  # [tb, n_rows, 128]
         out_ref[:] = mfcc_tail_radix4(
             x3, dft_refs[0][:], dft_refs[1][:], dft_refs[2][:],
             [w[:] for w in dft_refs[3:]], mel_ref[:], dct_ref[:],
-            tb=_TB, hop=hop, fft_length=fft_length,
+            tb=tb, hop=hop, fft_length=fft_length,
             frames=frames, matmul_dtype=matmul_dtype, magnitude=magnitude,
         )
         return
@@ -184,19 +187,19 @@ def _kernel(
     hops_rows = [
         _hops_from_lanes(a.reshape(n_rows, _LANES), hop) for a in aug_rows
     ]
-    hops = jnp.concatenate(hops_rows, axis=0)  # [TB*n_hops, hop]
+    hops = jnp.concatenate(hops_rows, axis=0)  # [tb*n_hops, hop]
 
     # --- shared MFCC/log-mel matmul tail (ops/pallas/mfcc.mfcc_tail) ---
     out_ref[:] = mfcc_tail(
         hops, dft_refs[0][:], mel_ref[:], dct_ref[:],
-        tb=_TB, n_hops=n_hops, k=k, num_bins=num_bins,
+        tb=tb, n_hops=n_hops, k=k, num_bins=num_bins,
         frames=frames, matmul_dtype=matmul_dtype, magnitude=magnitude,
     )
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
 def _impl(wavs3d, idx, scalars, noise_bank, n, cfg, interpret, quantize_crops,
-          variant="hops"):
+          variant="hops", tb=_TB):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -206,7 +209,7 @@ def _impl(wavs3d, idx, scalars, noise_bank, n, cfg, interpret, quantize_crops,
     batch = idx.shape[0]
 
     idx, (shifts, clips, offs, vols, keeps) = pad_batch_scalars(
-        idx, (shifts, clips, offs, vols, keeps)
+        idx, (shifts, clips, offs, vols, keeps), tb
     )
     padded_b = idx.shape[0]
 
@@ -232,8 +235,8 @@ def _impl(wavs3d, idx, scalars, noise_bank, n, cfg, interpret, quantize_crops,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
-        grid=(padded_b // _TB,),
-        in_specs=[gather_wav_spec(r, a_rows, pl, pltpu) for r in range(_TB)]
+        grid=(padded_b // tb,),
+        in_specs=[gather_wav_spec(r, a_rows, pl, pltpu, tb) for r in range(tb)]
         + [pl.BlockSpec(memory_space=pl.ANY)]
         + [const_spec(w.shape) for w in dft_ws]
         + [
@@ -241,13 +244,13 @@ def _impl(wavs3d, idx, scalars, noise_bank, n, cfg, interpret, quantize_crops,
             const_spec(dct.shape),
         ],
         out_specs=pl.BlockSpec(
-            (_TB, frames, out_w), lambda i, *_: (i, 0, 0),
+            (tb, frames, out_w), lambda i, *_: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((scratch_rows, _LANES), jnp.float32) for _ in range(_TB)
+            pltpu.VMEM((scratch_rows, _LANES), jnp.float32) for _ in range(tb)
         ]
-        + [pltpu.SemaphoreType.DMA((_TB,))],
+        + [pltpu.SemaphoreType.DMA((tb,))],
     )
     # cost estimate for XLA's latency-hiding scheduler (the sibling MFCC
     # kernel ships one; this kernel subsumes it plus the augment work):
@@ -271,6 +274,17 @@ def _impl(wavs3d, idx, scalars, noise_bank, n, cfg, interpret, quantize_crops,
         ),
         transcendentals=padded_b * frames * cfg.num_mel_bins,
     )
+    # per-grid-step live buffers (f32 elems): tb wav blocks (int16 counts
+    # as half an element) + augmented rows + crop scratches + the hops
+    # matmul intermediate + frame assembly + mel/dct stages + constants
+    compiler_params = vmem_params(
+        tb * a_rows * _LANES // 2,                 # int16 wav blocks
+        tb * a_rows * _LANES,                      # augmented f32 rows
+        tb * scratch_rows * _LANES,                # crop scratches
+        tb * n_hops * (hop + k * two_k),           # hops + DFT partials
+        tb * frames * (2 * two_k + cfg.num_mel_bins + out_w),
+        sum(w.size for w in dft_ws) + num_bins * cfg.num_mel_bins,
+    )
     out = pl.pallas_call(
         functools.partial(
             _kernel,
@@ -289,6 +303,7 @@ def _impl(wavs3d, idx, scalars, noise_bank, n, cfg, interpret, quantize_crops,
             phase_plan=phase_plan,
             variant=variant,
             fft_length=fft_length,
+            tb=tb,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
@@ -296,6 +311,7 @@ def _impl(wavs3d, idx, scalars, noise_bank, n, cfg, interpret, quantize_crops,
         ),
         interpret=interpret,
         cost_estimate=cost,
+        compiler_params=compiler_params,
     )(
         shifts.astype(jnp.int32),
         start_rows,
@@ -303,7 +319,7 @@ def _impl(wavs3d, idx, scalars, noise_bank, n, cfg, interpret, quantize_crops,
         vols.astype(jnp.float32),
         keeps.astype(jnp.float32),
         idx.astype(jnp.int32),
-        *([wavs3d] * _TB),
+        *([wavs3d] * tb),
         noise2d,
         *dft_ws,
         jnp.asarray(mel),
@@ -340,12 +356,15 @@ def fused_gather_augment_mfcc(
     n: int,
     interpret: bool = False,
     mesh=None,
+    tb: int = _TB,
 ) -> jnp.ndarray:
     """[N,P/128,128] int16 dataset + idx[B] -> [B, frames, n_mfccs] f32.
 
     Callers must check frontend_fusable() first. With a multi-device
     mesh, runs per-shard under shard_map (randomness drawn here on the
-    global batch, so shards never correlate)."""
+    global batch, so shards never correlate). `tb` is the kernel batch
+    tile (rows per grid step; larger tiles grow the DFT matmul's M dim
+    and the per-step VMEM footprint)."""
     if not frontend_fusable(wavs3d, aug_cfg, audio_cfg, noise_bank, n):
         # raise, not assert (python -O strips asserts)
         raise ValueError(
@@ -361,16 +380,16 @@ def fused_gather_augment_mfcc(
 
     sharded = maybe_shard_map(
         lambda w, i, s, nb: _impl(
-            w, i, s, nb, n, audio_cfg, interpret, quantize, variant
+            w, i, s, nb, n, audio_cfg, interpret, quantize, variant, tb
         ),
         mesh,
         in_specs=(P(), P("data"), (P("data"),) * 5, P()),
         batch=idx.shape[0],
-        tile=_TB,
+        tile=tb,
     )
     if sharded is not None:
         return sharded(wavs3d, idx, scalars, noise_bank)
     return _impl(
         wavs3d, idx, scalars, noise_bank, n, audio_cfg, interpret, quantize,
-        variant,
+        variant, tb,
     )

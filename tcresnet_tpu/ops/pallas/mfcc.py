@@ -40,6 +40,22 @@ from tcresnet_tpu.ops import dsp
 _LANES = 128
 
 
+def vmem_params(*buffer_elems):
+    """Raise the 16 MB scoped-vmem soft cap when a kernel geometry's
+    per-grid-step live buffers (f32 elements, pre-headroom) exceed it —
+    e.g. a 60 ms window's [tb*n_hops, k*two_k] hop-matmul output alone
+    is ~20 MB at tb=8, and batch tiles tb>8 grow every intermediate
+    (both cases compile-error on v5e without this). Returns None under
+    the cap so flagship-geometry compiles stay byte-identical. Shared by
+    the fused-MFCC kernel and the single-kernel frontend."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    est = int(4 * sum(buffer_elems) * 1.5)
+    if est <= 16 * 1024 * 1024:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=min(est, 100 * 1024 * 1024))
+
+
 def fused_mfcc_available(cfg: AudioConfig, num_samples: Optional[int] = None) -> bool:
     """The kernel supports hop-decomposable geometry (both ref configs)
     for BOTH spectral features — the reference treats mfcc and log-mel
@@ -466,20 +482,6 @@ def _fused_mfcc_impl(audio, cfg: AudioConfig, interpret: bool, tb: int = 8,
     const_spec = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
     )
-
-    def vmem_params(*buffer_elems):
-        """Raise the 16 MB scoped-vmem soft cap when this geometry's
-        per-grid-step live buffers (f32 elements, pre-headroom) exceed
-        it — e.g. a 60 ms window's [tb*n_hops, k*two_k] hop-matmul
-        output alone is ~20 MB at tb=8 (compile error caught on v5e).
-        None for the flagship geometries so their compiles are
-        byte-identical to before."""
-        est = int(4 * sum(buffer_elems) * 1.5)
-        if est <= 16 * 1024 * 1024:
-            return None
-        return pltpu.CompilerParams(
-            vmem_limit_bytes=min(est, 100 * 1024 * 1024)
-        )
     out_spec = pl.BlockSpec(
         (tb, frames, out_w), lambda i: (i, 0, 0),
         memory_space=pltpu.VMEM,

@@ -147,6 +147,27 @@ def test_fused_frontend_real_geometry(rng):
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=0)
 
 
+def test_fused_frontend_tb_invariant(rng):
+    """The kernel batch tile is a pure scheduling knob: tb=4/16 must be
+    BIT-identical to the default tb=8 (same draws, same per-row math —
+    only the grid shape and matmul M dim change). Unlocked by the
+    per-kernel scoped-vmem raise (mfcc.vmem_params); tb>8 was
+    uncompilable before."""
+    aug = AugmentConfig(background_frequency=0.8, background_max_volume=0.3)
+    n = 2560
+    wavs3d, idx, silent, noise = _dataset(rng, n, p=4096, batch=20)
+    cfg = _audio_cfg(n)
+    key = jax.random.key(11)
+
+    args = (wavs3d, idx, silent, key, aug, cfg, noise, True, n)
+    want = np.asarray(fused_gather_augment_mfcc(*args, interpret=True))
+    for tb in (4, 16):
+        got = np.asarray(
+            fused_gather_augment_mfcc(*args, interpret=True, tb=tb)
+        )
+        np.testing.assert_array_equal(got, want)
+
+
 def test_fused_frontend_log_mel(rng):
     """Log-mel through the single-kernel front end == the two-kernel path
     (same draws, magnitude tail + identity DCT)."""

@@ -620,6 +620,64 @@ def run_h(batches=(1024,)):
                    timed_loop(gbody, 10, 60))
 
 
+# ---------------------------------------------------------------------------
+# I. MFCC kernel batch-tile sweep (tb>8 unlocked by the scoped-vmem raise)
+#    + frontend-kernel fixed-cost probe (VERDICT r3 weak #3)
+# ---------------------------------------------------------------------------
+
+
+def run_i(batches=(512, 1024, 1536, 2048, 4096)):
+    """Two questions about the small-batch fused-frontend loss:
+    (a) does a larger kernel batch tile (M = tb*n_hops rows per DFT
+        matmul) lift the fused MFCC kernel? tb=16/32 were uncompilable
+        before the per-kernel scoped-vmem raise;
+    (b) what is the frontend kernel's per-CALL fixed cost? Sweep batch
+        down to 128 and read the flat component off the curve."""
+    from tcresnet_tpu.config import get_preset
+    from tcresnet_tpu.data.device_data import DeviceDataset
+    from tcresnet_tpu.data.synthetic import make_synthetic_dataset
+    from tcresnet_tpu.ops.pallas.frontend import fused_gather_augment_mfcc
+    from tcresnet_tpu.ops.pallas.mfcc import fused_mfcc
+
+    cfg = get_preset("TCResNet8-1.0")
+    acfg = cfg.audio
+
+    for batch in batches:
+        audio0 = jax.random.normal(jax.random.key(0), (batch, 16000),
+                                   jnp.float32)
+        for tb in (8, 16, 32, 64):
+            if tb > batch:
+                continue
+            jfn = jax.jit(functools.partial(fused_mfcc, cfg=acfg, tb=tb))
+
+            def body(i, acc, jfn=jfn, audio0=audio0):
+                return acc + jnp.sum(jfn(audio0 + i.astype(jnp.float32)) ** 2)
+
+            report(f"fused_mfcc_tb{tb}", batch, timed_loop(body))
+
+    # frontend fixed-cost probe: small batches expose the per-call flat
+    host = make_synthetic_dataset(num_samples=24_100, num_classes=12,
+                                  desired_samples=16000, seed=0)
+    data = DeviceDataset(host, None)
+    arrays, noise = data.arrays, data.noise_bank
+    for batch in (128, 256, 512, 1024, 1536, 2048):
+
+        @jax.jit
+        def step(i, arrs, nz):
+            key = jax.random.fold_in(jax.random.key(7), i)
+            ks, ka = jax.random.split(key)
+            idx, labels, silent = DeviceDataset.sample_indices(
+                arrs, ks, batch, None)
+            feats = fused_gather_augment_mfcc(
+                arrs[0], idx, silent, ka, cfg.augment, acfg, nz, True, 16000)
+            return jnp.sum(feats ** 2)
+
+        def body(i, acc, step=step):
+            return acc + step(i, arrays, noise)
+
+        report("frontend_kernel", batch, timed_loop(body))
+
+
 if __name__ == "__main__":
     # args: part letters, optionally with batches ("A:1024,4096")
     import os
@@ -632,4 +690,5 @@ if __name__ == "__main__":
         if bstr:
             kw["batches"] = tuple(int(b) for b in bstr.split(","))
         {"A": run_a, "B": run_b, "C": run_c, "D": run_d,
-         "E": run_e, "F": run_f, "G": run_g, "H": run_h}[letter](**kw)
+         "E": run_e, "F": run_f, "G": run_g, "H": run_h,
+         "I": run_i}[letter](**kw)
