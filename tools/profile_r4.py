@@ -299,7 +299,7 @@ def run_c(batches=(512, 1024, 1536, 2048, 4096)):
         audio0 = jax.random.normal(jax.random.key(0), (batch, 16000),
                                    jnp.float32)
         cases = [("mfcc_xla", xla_path), ("mfcc_fused", fused_path)]
-        if batch > 1024:
+        if batch > 1024 and batch % 1024 == 0:
             cases.append(("mfcc_xla_chunk1024", chunked_xla))
         for name, fn in cases:
             jfn = jax.jit(fn)
