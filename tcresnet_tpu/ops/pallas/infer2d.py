@@ -791,7 +791,9 @@ def _kernel2d(*refs, ops: Tuple[Tuple, ...]):
             # index and produce garbage logits — fail at trace time
             raise ValueError(f"unknown op kind {kind!r}")
 
-    out_ref[:] = x
+    # out block is [1, TB, ncls] (leading grid dim); the (TB, ncls) ->
+    # (1, TB, ncls) reshape is a leading-dim split, legal in Mosaic.
+    out_ref[:] = x.reshape(out_ref.shape)
 
 
 # ---------------------------------------------------------------------------
@@ -871,14 +873,23 @@ def build_fused_infer2d(
             )
 
         kernel = functools.partial(_kernel2d, ops=ops)
+        n_blocks = padded_b // tb_eff
+        # Output is [n_blocks, tb, ncls], block [1, tb, ncls]: a 2D
+        # [padded_b, ncls] output with block [tb, ncls] is Mosaic-illegal
+        # whenever tb < padded_b and tb % 8 != 0 (the second-to-last
+        # block dim must be sublane-divisible or span the array) — the
+        # grid rides a leading dim instead, merged back below.
         out = pl.pallas_call(
             kernel,
-            grid=(padded_b // tb_eff,),
+            grid=(n_blocks,),
             in_specs=[in0] + weight_specs,
             out_specs=pl.BlockSpec(
-                (tb_eff, ncls), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (1, tb_eff, ncls), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
-            out_shape=jax.ShapeDtypeStruct((padded_b, ncls), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct(
+                (n_blocks, tb_eff, ncls), jnp.float32
+            ),
             interpret=interpret,
             # 98x40 maps pad channels to 128 lanes (~2 MB per live f32
             # buffer); the default 16 MB scoped-vmem cap is a soft
@@ -888,7 +899,7 @@ def build_fused_infer2d(
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
         )(x_in, *weights)
-        return out[:batch]
+        return out.reshape(padded_b, ncls)[:batch]
 
     @jax.jit
     def infer(wavs: jnp.ndarray) -> jnp.ndarray:

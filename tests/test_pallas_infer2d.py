@@ -113,6 +113,30 @@ def test_kws_parity_slow(arch):
     _assert_parity(cfg, batch=2)
 
 
+def test_multiblock_tb_grid():
+    """Explicit tb < batch (tb=2, batch=5): a three-block grid with a
+    padded last block. The out rides a [n_blocks, tb, ncls] leading-dim
+    layout — a 2D [batch, ncls] out with block (tb, ncls) is
+    Mosaic-illegal for tb % 8 != 0 < batch (round-5 hardware finding:
+    profile_r4.py run_d crashed on every batch-serving infer2d build)."""
+    cfg = _small_cfg("DSCNNS")
+    variables = _variables(cfg)
+    x = jnp.asarray(
+        np.random.default_rng(11)
+        .uniform(-0.5, 0.5, (5, cfg.audio.desired_samples))
+        .astype(np.float32)
+    )
+    fused = build_fused_infer2d(
+        cfg.model, cfg.audio, variables["params"], variables["batch_stats"],
+        tb=2, interpret=True,
+    )
+    soft_fused = np.asarray(jax.nn.softmax(fused(x), axis=-1))
+    xla_fn = build_inference_fn(
+        cfg, variables, include_preprocess=True, backend="xla"
+    )
+    np.testing.assert_allclose(soft_fused, np.asarray(xla_fn(x)), atol=1e-5)
+
+
 def test_export_backend_routes_2d():
     """backend='fused' on a 2D family routes through infer2d and keeps
     the <=1e-5 parity gate (batch 3 exercises the tb padding path)."""
