@@ -24,6 +24,29 @@ from tcresnet_tpu.models import build_model
 from tcresnet_tpu.ops import dsp
 
 
+# Measured fused-vs-XLA serving crossover per family (round 5:
+# docs/profile_r5_D.jsonl; round 3 for the temporal TC-ResNets). The
+# fused kernels' per-sample conv chains cost a near-constant µs/utt
+# while the XLA path sits on a ~75-430 µs launch floor, so each
+# family's crossover is its floor/per-utt ratio: Res ~44 µs/utt under a
+# ~1490 µs floor@32 still wins at 32; DS-CNN ties at 8 (74.5 vs 76.0)
+# and loses at 16; TCResNet2D (24 µs/utt) and KWS (30 µs/utt) lose by
+# batch 8, win at 4. DSCNNM/L inherit DSCNNS's crossover (same map
+# geometry, fused cost within 1.4x).
+_AUTO_FUSED_MAX_BATCH = {
+    "TCResNet8": 32, "TCResNet14": 32,
+    "Res8": 32, "Res8Narrow": 32, "Res15": 32, "Res15Narrow": 32,
+    "DSCNNS": 8, "DSCNNM": 8, "DSCNNL": 8,
+    "ResNet2D8": 4, "ResNet2D8Pool": 8,
+    "KWS": 4,
+}
+
+
+def auto_fused_max_batch(model_name: str) -> int:
+    """Largest traced batch `backend="auto"` serves via the fused kernel."""
+    return _AUTO_FUSED_MAX_BATCH.get(model_name, 32)
+
+
 def _with_matmul_precision(fn, precision):
     """Wrap `fn` so its body traces under jax.default_matmul_precision.
 
@@ -73,9 +96,11 @@ def build_inference_fn(
                 highest-precision reference than the XLA path's
                 default-precision convs (docs/BENCH_RESULTS.md).
       "auto"  — on TPU with a supported model, pick per traced batch
-                size: fused at <=32 (latency-optimal), XLA above (the
-                fused kernel's per-sample conv chain doesn't batch its
-                matmuls — 912k vs 217k utt/s @1024); else "xla".
+                size: fused up to the family's measured crossover
+                (auto_fused_max_batch: 32 temporal/Res, 8 DS-CNN,
+                4-8 TCResNet2D, 4 KWS), XLA above (the fused kernel's
+                per-sample conv chain doesn't batch its matmuls —
+                912k vs 217k utt/s @1024); else "xla".
 
     precision: None (platform default; fastest — on TPU f32 matmuls are
       bf16-pass) or a jax.default_matmul_precision name ("highest" for
@@ -146,13 +171,14 @@ def build_inference_fn(
             # auto: the fused kernel is latency-optimal (6-16 us at batch
             # 1 vs ~380 us) but its per-sample conv chain doesn't batch
             # the matmuls, so the XLA path wins throughput at large batch
-            # (912k vs 217k utt/s @1024 — docs/BENCH_RESULTS.md);
-            # measured crossover ~batch 32. Batch size is static under
-            # jit, so this picks per trace.
+            # (912k vs 217k utt/s @1024 — docs/BENCH_RESULTS.md); the
+            # crossover is per-FAMILY (measured, _AUTO_FUSED_MAX_BATCH).
+            # Batch size is static under jit, so this picks per trace.
+            max_fused = auto_fused_max_batch(cfg.model.name)
             xla_fn = _build_xla_infer(cfg, params, batch_stats, include_preprocess)
 
             def infer_auto(x: jnp.ndarray) -> jnp.ndarray:
-                if x.shape[0] <= 32:
+                if x.shape[0] <= max_fused:
                     return jax.nn.softmax(fused(x), axis=-1)
                 return xla_fn(x)
 

@@ -163,3 +163,19 @@ def test_precision_highest_parity():
     np.testing.assert_array_equal(
         np.asarray(jax.jit(plain)(wavs)), np.asarray(jax.jit(wrapped)(wavs))
     )
+
+
+def test_auto_fused_max_batch_per_family():
+    """backend='auto' routes by the per-FAMILY measured crossover
+    (docs/profile_r5_D.jsonl), not a blanket 32: each family's fused
+    kernel costs a near-constant us/utt against the XLA path's
+    launch floor, so the crossover is floor/per-utt and spans 4-32."""
+    from tcresnet_tpu.serve.export import auto_fused_max_batch
+
+    assert auto_fused_max_batch("TCResNet8") == 32
+    assert auto_fused_max_batch("Res8") == 32
+    assert auto_fused_max_batch("DSCNNS") == 8
+    assert auto_fused_max_batch("ResNet2D8") == 4
+    assert auto_fused_max_batch("KWS") == 4
+    # unknown names fall back to the temporal default
+    assert auto_fused_max_batch("nonesuch") == 32

@@ -315,7 +315,7 @@ def run_c(batches=(512, 1024, 1536, 2048, 4096)):
 # ---------------------------------------------------------------------------
 
 
-def run_d(models=("Res8", "DSCNNS", "ResNet2D8-1.0"),
+def run_d(models=("Res8", "DSCNNS", "TCResNet2D8-1.0", "KWSfpool3"),
           batches=(32, 128, 1024), tbs=(1, 2, 4)):
     from tcresnet_tpu.config import get_preset
     from tcresnet_tpu.models import build_model
